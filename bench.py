@@ -1,0 +1,82 @@
+"""Benchmark harness.
+
+Measures training throughput of the gan_inference_cifar10-equivalent
+WGAN-GP (wali-gp) alternating step — the BASELINE.json headline metric
+(images/sec/chip, target >= 20,000 on TPU) — on whatever accelerator
+``jax.devices()`` exposes, using an on-device synthetic resident dataset so
+the measurement is hermetic (no downloads, no host input in the loop).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The counted work per iteration matches the reference accounting: one G
+update + CRITIC_ITERS D updates, each consuming a fresh BATCH_SIZE batch
+(the reference's per-iteration data consumption is (1+k)*B images; we report
+images/sec as total images consumed / wall time).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+TARGET = 20_000.0  # images/sec/chip north star (BASELINE.md)
+
+
+def main():
+    from graphical_gan_tpu.core.config import gan_inference_defaults
+    from graphical_gan_tpu.models.gan_inference import GanInferenceModel
+    from graphical_gan_tpu.train.step import make_train_step
+    from graphical_gan_tpu.data.ondevice import sample_batches
+
+    # published cifar10 wali-gp config (BATCH=64, DIM=64, z=128, k=5)
+    cfg = gan_inference_defaults("cifar10", "wali-gp",
+                                 compute_dtype="bfloat16")
+    model = GanInferenceModel(cfg)
+    k = cfg.critic_iters
+
+    params = model.init(jax.random.PRNGKey(0))
+    step, init_state = make_train_step(model, jit=False)
+    state = init_state(params)
+
+    # resident synthetic dataset (50k CIFAR-sized images) in HBM
+    data = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, size=(50_000, cfg.data.output_dim)).astype(np.int32))
+
+    def _iteration(state, data, key):
+        raw = sample_batches(data, jax.random.fold_in(key, 7), 1 + k,
+                             cfg.batch_size)
+        return step(state, raw, key, jnp.asarray(True))
+
+    # one fused program per iteration: data sampling + G step + k D steps,
+    # state donated in place
+    iteration = jax.jit(_iteration, donate_argnums=(0,))
+
+    # warmup / compile
+    state, m = iteration(state, data, jax.random.PRNGKey(1))
+    jax.block_until_ready(m["disc_cost"])
+
+    iters = 50
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = iteration(state, data, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(m["disc_cost"])
+    dt = time.perf_counter() - t0
+
+    images = iters * (1 + k) * cfg.batch_size
+    ips = images / dt
+    n_chips = max(1, len(jax.devices()))
+    per_chip = ips / n_chips
+
+    print(json.dumps({
+        "metric": "cifar10_wali_gp_train_throughput",
+        "value": round(per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Shared loader utilities.
+
+All loaders reproduce the reference protocol: ``load(...)`` returns a tuple
+of *epoch-generator factories* — each a zero-arg callable returning a fresh
+iterator of numpy batches (``tflib/mnist.py:49-64`` et al.).  Shuffling is
+the reference's paired-shuffle (one RNG state reused across arrays).
+
+Every loader also accepts ``synthetic=True`` to produce shape/dtype-faithful
+random data with no filesystem or network dependency (benchmarks and CI run
+hermetically; the TPU cluster may have zero egress).
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.request
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def paired_shuffle(rng: np.random.RandomState, *arrays: np.ndarray) -> None:
+    """In-place shuffle of several arrays with the same permutation
+    (reference does it by re-seeding the global RNG state,
+    ``tflib/mnist.py:10-14``)."""
+    state = rng.get_state()
+    for a in arrays:
+        rng.set_state(state)
+        rng.shuffle(a)
+
+
+def epoch_batches(batch_size: int, *arrays: np.ndarray,
+                  rng: Optional[np.random.RandomState] = None,
+                  drop_remainder: bool = True) -> Iterator:
+    """One shuffled epoch of aligned batches over ``arrays``."""
+    rng = rng or np.random.RandomState()
+    n = len(arrays[0])
+    perm = rng.permutation(n)
+    n_batches = n // batch_size if drop_remainder else -(-n // batch_size)
+    for i in range(n_batches):
+        idx = perm[i * batch_size:(i + 1) * batch_size]
+        out = tuple(a[idx] for a in arrays)
+        yield out if len(out) > 1 else out[0]
+
+
+def generator_factory(batch_size: int, *arrays, seed: Optional[int] = None):
+    rng = np.random.RandomState(seed)
+
+    def get_epoch():
+        return epoch_batches(batch_size, *arrays, rng=rng)
+
+    return get_epoch
+
+
+def maybe_download(url: str, path: str) -> bool:
+    """Best-effort download; returns False on any failure (zero-egress envs)."""
+    if os.path.isfile(path):
+        return True
+    try:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        urllib.request.urlretrieve(url, path)  # noqa: S310
+        return True
+    except Exception:
+        return False

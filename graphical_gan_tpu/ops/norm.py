@@ -1,0 +1,117 @@
+"""Normalization layers.
+
+Rebuild of ``tflib/ops/{batchnorm,layernorm,cond_batchnorm}.py`` with the
+reference's *actual* semantics:
+
+- the reference's scripts never pass ``is_training``, so its batchnorm
+  **always uses current-batch statistics** — both fused conv path
+  (``batchnorm.py:51-52``) and the generic dense path (``:74-87``).  The
+  moving-average machinery is dead code; we do not carry moving stats at all
+  (they would be never-updated constants in checkpoints).
+- epsilon is 1e-5 on both paths (``batchnorm.py:30,84``).
+- internal layout is channels-last: the reference's ``axes=[0,2,3]`` (NCHW)
+  becomes reduction over (0,1,2) of NHWC; ``axes=[0,2]`` (NCW) becomes (0,1)
+  of NWC; ``axes=[0,1,2,3]`` (the 3dcnn path over NDHWC in the reference,
+  ``ssgan_inference_moving_mnist.py:372``) becomes (0,1,2,3) of NDHWC — all
+  expressed uniformly as "normalize every axis except the last".
+
+On TPU this whole layer is a pair of VPU reductions + a fused elementwise
+epilogue; XLA fuses it into the adjacent conv, which is why a handwritten
+Pallas kernel is reserved for the cases XLA misses (see ``ops/pallas``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from graphical_gan_tpu.core.registry import param
+from graphical_gan_tpu.ops import initializers as inits
+
+_EPS = 1e-5
+
+
+def batchnorm(name: str, x: jax.Array, axes: Sequence[int] = None) -> jax.Array:
+    """Batch-statistics normalization with learned per-feature offset/scale.
+
+    ``axes`` selects the reduction axes *of the channels-last tensor*; default
+    is "all but last" (the conv case).  For the dense case pass ``axes=[0]``
+    (feature axis is last, matching the reference's ``Batchnorm(name, [0], h)``
+    on [B, F] inputs, ``batchnorm.py:74-87``).
+    """
+    if axes is None:
+        axes = tuple(range(x.ndim - 1))
+    axes = tuple(axes)
+
+    # parameter shape: one value per non-reduced feature (keepdims layout for
+    # the generic path; pure [C] for the "all but last" path)
+    if axes == tuple(range(x.ndim - 1)):
+        c = x.shape[-1]
+        offset = param(name + ".offset", inits.zeros((c,)))
+        scale = param(name + ".scale", inits.ones((c,)))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=axes)
+        var = jnp.var(x32, axis=axes)
+        inv = jax.lax.rsqrt(var + _EPS) * scale
+        out = (x32 - mean) * inv + offset
+        return out.astype(x.dtype)
+
+    # generic-axes path (reference batchnorm.py:74-87): keepdims param shapes
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    var = jnp.var(x32, axis=axes, keepdims=True)
+    shape = list(x.shape)
+    for a in axes:
+        shape[a] = 1
+    offset = param(name + ".offset", inits.zeros(shape))
+    scale = param(name + ".scale", inits.ones(shape))
+    inv = jax.lax.rsqrt(var + _EPS) * scale
+    return ((x32 - mean) * inv + offset).astype(x.dtype)
+
+
+def layernorm(name: str, norm_axes: Sequence[int], x: jax.Array) -> jax.Array:
+    """Layer norm with per-neuron offset/scale (``tflib/ops/layernorm.py:6-20``).
+
+    ``norm_axes[0]`` is the 'neurons' axis whose size determines the parameter
+    count; offset/scale broadcast over the remaining normalized axes.
+    """
+    norm_axes = tuple(norm_axes)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=norm_axes, keepdims=True)
+    var = jnp.var(x32, axis=norm_axes, keepdims=True)
+
+    n_neurons = x.shape[norm_axes[0]]
+    offset = param(name + ".offset", inits.zeros((n_neurons,)))
+    scale = param(name + ".scale", inits.ones((n_neurons,)))
+
+    # reshape for broadcast: neurons axis first of norm_axes (reference
+    # layernorm.py:16-17 does [-1, 1, 1, ...])
+    bshape = [1] * x.ndim
+    bshape[norm_axes[0]] = n_neurons
+    offset = offset.reshape(bshape)
+    scale = scale.reshape(bshape)
+
+    inv = jax.lax.rsqrt(var + _EPS) * scale
+    return ((x32 - mean) * inv + offset).astype(x.dtype)
+
+
+def cond_batchnorm(name: str, x: jax.Array, labels: jax.Array,
+                   n_labels: int) -> jax.Array:
+    """Conditional BN (Dumoulin) for NHWC conv maps
+    (``tflib/ops/cond_batchnorm.py:6-17`` — reference supports axes [0,2,3]
+    only, i.e. per-channel stats).
+    """
+    c = x.shape[-1]
+    offset_m = param(name + ".offset", inits.zeros((n_labels, c)))
+    scale_m = param(name + ".scale", inits.ones((n_labels, c)))
+    offset = offset_m[labels]          # [B, C]
+    scale = scale_m[labels]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(0, 1, 2))
+    var = jnp.var(x32, axis=(0, 1, 2))
+    inv = jax.lax.rsqrt(var + _EPS)
+    out = (x32 - mean) * inv
+    return (out * scale[:, None, None, :] +
+            offset[:, None, None, :]).astype(x.dtype)

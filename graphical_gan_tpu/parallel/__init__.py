@@ -1,0 +1,6 @@
+from graphical_gan_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    make_parallel_train_step,
+)

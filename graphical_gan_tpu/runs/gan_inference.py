@@ -1,0 +1,154 @@
+"""Entrypoints for model family 1 — the ``gan_inference_*`` scripts.
+
+The reference had eleven copy-pasted entry scripts with edit-in-source
+UPPERCASE constants and no CLI.  Here each script becomes a thin function
+over the config system + trainer, exposing the same MODE/knob surface with
+the same defaults, plus argparse:
+
+    python -m graphical_gan_tpu.runs.gan_inference --dataset mnist --mode ali
+
+Reference anatomy being reproduced (``gan_inference_mnist.py``):
+hyperparams (:31-70) -> log dir + settings dump (:76-86) -> models (:122-252)
+-> losses/mode dispatch (:257-363) -> fixed-noise sampling (:366-373) ->
+reconstruction grids (:383-396) -> train loop (:402-484).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphical_gan_tpu.core import registry
+from graphical_gan_tpu.core.config import gan_inference_defaults
+from graphical_gan_tpu.models.gan_inference import GanInferenceModel
+from graphical_gan_tpu.report.save_images import save_images
+from graphical_gan_tpu.train.trainer import Trainer, make_run_dir
+
+
+def _loaders(cfg, data_dir: Optional[str]):
+    from graphical_gan_tpu import data
+    if cfg.dataset == "mnist":
+        train, dev, _test = data.mnist.load(cfg.batch_size, cfg.batch_size)
+        return train, dev
+    if cfg.dataset == "cifar10":
+        return data.cifar10.load(cfg.batch_size, data_dir)
+    if cfg.dataset == "svhn":
+        return data.svhn.load(cfg.batch_size, data_dir or "/tmp/svhn")
+    if cfg.dataset == "celeba":
+        return data.celeba.load(cfg.batch_size, data_dir)
+    raise ValueError(cfg.dataset)
+
+
+def _grid_hw(cfg):
+    h, w = cfg.data.image_hw
+    return (h, w) if cfg.data.channels == 1 else (cfg.data.channels, h, w)
+
+
+def _to_grid_scale(cfg, flat: np.ndarray) -> np.ndarray:
+    """Map generator output range to [0,1]-ish for the grid writer."""
+    if cfg.data.normalization == "unit":
+        return flat
+    return (flat + 1.0) / 2.0
+
+
+def _grid_shape(cfg, n):
+    h, w = cfg.data.image_hw
+    c = cfg.data.channels
+    return (n, c, h, w) if c > 1 else (n, h, w)
+
+
+def make_eval_hooks(model, fixed_dev_batch):
+    """Sample + reconstruction grids at the reference cadence
+    (``gan_inference_mnist.py:366-396``: fixed noise grid; dev batch
+    interleaved input/output reconstruction grid)."""
+    cfg = model.cfg
+    n_vis = cfg.n_vis
+    fixed_noise = np.random.RandomState(0).normal(
+        size=(n_vis, cfg.dim_latent)).astype("float32")
+
+    def hook(trainer, iteration):
+        params = trainer.state.params
+        samples = registry.apply(
+            lambda: model.sample(jnp.asarray(fixed_noise)), params,
+            jax.random.PRNGKey(0))
+        img = _to_grid_scale(cfg, np.asarray(samples))
+        save_images(
+            img.reshape(_grid_shape(cfg, n_vis)),
+            os.path.join(trainer.outf,
+                         f"{cfg.mode}_{cfg.dataset}_samples_{iteration}.png"))
+
+        if fixed_dev_batch is not None:
+            rec = registry.apply(
+                lambda: model.reconstruct(jnp.asarray(fixed_dev_batch)),
+                params, jax.random.PRNGKey(1))
+            rec = _to_grid_scale(cfg, np.asarray(rec))
+            data_img = _to_grid_scale(
+                cfg, np.asarray(model.normalize(jnp.asarray(fixed_dev_batch))))
+            # interleave original/reconstruction rows (mnist:388-392)
+            inter = np.stack([data_img, rec], axis=1).reshape(
+                -1, data_img.shape[-1])
+            b = fixed_dev_batch.shape[0]
+            save_images(
+                inter.reshape(_grid_shape(cfg, 2 * b)),
+                os.path.join(
+                    trainer.outf,
+                    f"{cfg.mode}_{cfg.dataset}_reconstruction_{iteration}.png"))
+
+    return hook
+
+
+def run(dataset: str = "mnist", mode: str = "ali",
+        iters: Optional[int] = None, data_dir: Optional[str] = None,
+        outdir: str = "result", seed: int = 0,
+        checkpoint_every: int = 5000, sample_every: Optional[int] = None,
+        **overrides):
+    cfg = gan_inference_defaults(dataset, mode, **overrides)
+    model = GanInferenceModel(cfg)
+    train_gen, dev_gen = _loaders(cfg, data_dir)
+
+    outf = make_run_dir(outdir, f"gan_inference_{dataset}", {"MODE": mode})
+    fixed_dev = next(iter(dev_gen()))
+    if isinstance(fixed_dev, tuple):
+        fixed_dev = fixed_dev[0]
+
+    sample_every = sample_every or (1000 if dataset == "celeba" else 5000)
+    trainer = Trainer(
+        model, train_gen, dev_gen, outf=outf, seed=seed,
+        checkpoint_every=checkpoint_every,
+        eval_hooks={sample_every: make_eval_hooks(model, fixed_dev)},
+        lr_scale=(lambda t: jnp.maximum(0.0, 1.0 - t / cfg.iters))
+        if cfg.decay else None,
+    )
+    metrics = trainer.train(iters)
+    return trainer, metrics
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="mnist",
+                   choices=["mnist", "cifar10", "svhn", "celeba"])
+    p.add_argument("--mode", default="ali")
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--outdir", default="result")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--dim", type=int, default=None)
+    args = p.parse_args(argv)
+    overrides = {}
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.dim:
+        overrides["dim"] = args.dim
+    run(args.dataset, args.mode, iters=args.iters, data_dir=args.data_dir,
+        outdir=args.outdir, seed=args.seed, **overrides)
+
+
+if __name__ == "__main__":
+    main()

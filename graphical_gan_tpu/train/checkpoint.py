@@ -1,0 +1,100 @@
+"""Periodic checkpoint / resume.
+
+The reference saved exactly once, at the final iteration, and had NO restore
+path at all (``gan_inference_cifar10.py:498-499``; no ``saver.restore``
+anywhere) — a crash at iter 199,998 lost everything.  Here checkpointing is
+periodic and round-trips the FULL train state (params, both players'
+optimizer states, step counter, host RNG position) bit-exactly.
+
+Format: a single ``.npz`` of keypath-flattened arrays + a tiny JSON header —
+no external checkpoint service needed, works on any filesystem the host
+sees.  (Multi-host sharded checkpointing via orbax can layer on top; the
+state is a pure pytree.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+
+SEP = "|"
+
+
+def _flatten(tree: Any) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = SEP.join(_path_str(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_str(p) -> str:
+    if hasattr(p, "key"):
+        return f"k:{p.key}"
+    if hasattr(p, "idx"):
+        return f"i:{p.idx}"
+    if hasattr(p, "name"):
+        return f"n:{p.name}"
+    return str(p)
+
+
+def save(path: str, state: Any, extra: Optional[Dict] = None) -> str:
+    """Atomically write ``state`` (any pytree) + JSON-able ``extra`` metadata."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    flat = _flatten(state)
+    header = {"extra": extra or {}, "keys": sorted(flat)}
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)),
+                               suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, __header__=json.dumps(header), **flat)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def restore(path: str, like: Any) -> Tuple[Any, Dict]:
+    """Load a checkpoint into the structure of ``like`` (same treedef).
+
+    Returns ``(state, extra)``.
+    """
+    with np.load(path, allow_pickle=False) as data:
+        header = json.loads(str(data["__header__"]))
+        flat = {k: data[k] for k in data.files if k != "__header__"}
+
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
+    leaves = []
+    for path_t, leaf in paths_leaves:
+        key = SEP.join(_path_str(p) for p in path_t)
+        if key not in flat:
+            raise KeyError(f"checkpoint {path!r} missing leaf {key!r}")
+        arr = flat[key]
+        if tuple(arr.shape) != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"shape mismatch for {key!r}: ckpt {arr.shape} vs "
+                f"state {np.shape(leaf)}")
+        leaves.append(jax.numpy.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, leaves), header["extra"]
+
+
+def latest(dirpath: str, prefix: str = "ckpt_") -> Optional[str]:
+    """Path of the highest-step checkpoint in ``dirpath`` (or None)."""
+    if not os.path.isdir(dirpath):
+        return None
+    best, best_step = None, -1
+    for fn in os.listdir(dirpath):
+        if fn.startswith(prefix) and fn.endswith(".npz"):
+            try:
+                step = int(fn[len(prefix):-4])
+            except ValueError:
+                continue
+            if step > best_step:
+                best, best_step = os.path.join(dirpath, fn), step
+    return best

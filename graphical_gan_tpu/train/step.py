@@ -1,0 +1,141 @@
+"""The fused alternating train step.
+
+The reference's hot loop (``gan_inference_cifar10.py:431-446``) was: per
+iteration, one ``session.run`` for the G player and ``CRITIC_ITERS`` more for
+the D player, each feeding a fresh host batch through ``feed_dict`` — i.e.
+(1+k) host->device round trips + (1+k) graph launches per iteration.
+
+Here the WHOLE iteration is one donated, jitted XLA program:
+
+- raw batches for all (1+k) sub-updates arrive as ONE stacked on-device array
+  (or are sliced from an on-device resident dataset — see ``data.ondevice``),
+- G update: ``jax.grad`` w.r.t. the Generator+Extractor player only (the
+  Discriminator sub-tree is a frozen argument, so no dead D-gradients are
+  computed — mirroring ``var_list=gen_params+ext_params``),
+- then k D updates (python-unrolled: k<=5 static, letting XLA software-
+  pipeline them), each with fresh RNG and its own batch slice,
+- both players' optimizer states update in-place (donated buffers),
+- WGAN weight clipping / double-backward gradient penalties run inside the
+  same program.
+
+Under data parallelism the same step function is jitted with sharded batch /
+replicated params (see ``parallel.mesh``); XLA inserts the psum for the grad
+all-reduce automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from graphical_gan_tpu.core import registry
+from graphical_gan_tpu.optim import clip_params, make_optimizer
+
+Params = Dict[str, jax.Array]
+
+
+class TrainState(NamedTuple):
+    params: Params
+    gen_opt: Any
+    disc_opt: Any
+    step: jax.Array           # int32 scalar
+
+
+def make_train_step(model, critic_iters: Optional[int] = None,
+                    lr_scale: Optional[Callable] = None,
+                    jit: bool = True,
+                    donate: bool = True):
+    """Build ``step(state, raw_batches, key, do_gen) -> (state, metrics)``.
+
+    ``raw_batches``: [1 + critic_iters, B, ...] stacked raw inputs (slice 0
+    feeds the G update; slices 1.. feed the D updates), matching the
+    reference's independently drawn batches per sub-update.
+    ``do_gen``: bool scalar — the reference skips the G update at iteration 0
+    (``gan_inference_cifar10.py:433``).
+    """
+    cfg = model.cfg
+    k = cfg.critic_iters if critic_iters is None else critic_iters
+    gen_spec, disc_spec = model.opt_specs()
+    gen_opt = make_optimizer(gen_spec, lr_scale=lr_scale)
+    disc_opt = make_optimizer(disc_spec, lr_scale=lr_scale) \
+        if disc_spec is not None else None
+    has_disc = disc_spec is not None
+
+    gen_names = model.GEN_PLAYER
+    disc_names = model.DISC_PLAYER
+
+    def init_state(params: Params) -> TrainState:
+        gen_params, _ = registry.partition(params, gen_names)
+        disc_params, _ = registry.partition(params, disc_names)
+        return TrainState(
+            params=params,
+            gen_opt=gen_opt.init(gen_params),
+            disc_opt=disc_opt.init(disc_params) if has_disc else (),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def gen_loss_fn(gen_params: Params, rest: Params, key, raw):
+        params = registry.merge(gen_params, rest)
+        loss, aux = registry.apply(lambda: model.gen_loss(raw), params, key)
+        return loss, aux
+
+    def disc_loss_fn(disc_params: Params, rest: Params, key, raw):
+        params = registry.merge(disc_params, rest)
+        loss, aux = registry.apply(lambda: model.disc_loss(raw), params, key)
+        return loss, aux
+
+    def step(state: TrainState, raw_batches, key, do_gen) -> Tuple[TrainState, Dict]:
+        metrics: Dict[str, jax.Array] = {}
+        params = state.params
+        gen_opt_state = state.gen_opt
+        disc_opt_state = state.disc_opt
+
+        # ---- G player update -------------------------------------------
+        gen_params, rest_g = registry.partition(params, gen_names)
+        g_key = jax.random.fold_in(key, 0)
+
+        def do_g(_):
+            (loss, aux), grads = jax.value_and_grad(
+                gen_loss_fn, has_aux=True)(gen_params, rest_g, g_key,
+                                           raw_batches[0])
+            new_gen, new_opt = gen_opt.update(grads, gen_opt_state, gen_params)
+            return new_gen, new_opt, loss
+
+        def skip_g(_):
+            loss, _ = gen_loss_fn(gen_params, rest_g, g_key, raw_batches[0])
+            return gen_params, gen_opt_state, loss
+
+        new_gen, gen_opt_state, gen_cost = jax.lax.cond(do_gen, do_g, skip_g,
+                                                        None)
+        params = registry.merge(params, new_gen)
+        metrics["gen_cost"] = gen_cost
+
+        # ---- D player updates x k --------------------------------------
+        if has_disc and k > 0:
+            disc_cost = jnp.float32(0.0)
+            for i in range(k):
+                disc_params, rest_d = registry.partition(params, disc_names)
+                d_key = jax.random.fold_in(key, 1 + i)
+                (loss, aux), grads = jax.value_and_grad(
+                    disc_loss_fn, has_aux=True)(disc_params, rest_d, d_key,
+                                                raw_batches[1 + i])
+                new_disc, disc_opt_state = disc_opt.update(
+                    grads, disc_opt_state, disc_params)
+                if disc_spec.weight_clip is not None:
+                    # wali/wgan: clip all Discriminator params post-update
+                    # (tflib/objs/gan_inference.py:15-24)
+                    new_disc = clip_params(new_disc, disc_spec.weight_clip,
+                                           "Discriminator")
+                params = registry.merge(params, new_disc)
+                disc_cost = loss
+            metrics["disc_cost"] = disc_cost
+
+        new_state = TrainState(params=params, gen_opt=gen_opt_state,
+                               disc_opt=disc_opt_state, step=state.step + 1)
+        return new_state, metrics
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step, init_state

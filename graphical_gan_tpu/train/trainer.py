@@ -1,0 +1,174 @@
+"""Host-side training driver.
+
+Reproduces the reference's observational instruments and cadences
+(``gan_inference_cifar10.py:420-499``):
+
+- per-iteration train-cost metric + wall-clock 'time' metric,
+- dev-set sweep every 100 iters (rec/reg decomposition when a reconstruction
+  penalty exists, plain gen-cost otherwise),
+- log flush at iters <5 and every 100,
+- fixed-noise sample grid + fixed/random reconstruction grids every 5000
+  (1000 for face),
+- run-dir bookkeeping: config dump + settings log (the reference self-copied
+  the entry script, ``gan_inference_mnist.py:85-86``; we dump the full config
+  dict which captures the same information declaratively),
+
+and improves on the reference where it was operationally broken:
+
+- periodic checkpointing with full-state resume (the reference saved ONCE at
+  the final iteration and had no restore path, SURVEY §5),
+- the whole G+kD iteration is one donated jitted step with on-device batch
+  slices (see ``train.step``) instead of (1+k) feed_dict round trips.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, is_dataclass
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphical_gan_tpu.core.rng import KeyStream
+from graphical_gan_tpu.report.plot import MetricLogger
+from graphical_gan_tpu.train import checkpoint as ckpt_lib
+from graphical_gan_tpu.train.step import make_train_step
+
+
+def make_run_dir(base: str, script: str, tags: Dict) -> str:
+    parts = [script] + [f"{k}-{v}" for k, v in tags.items()] \
+        + [str(int(time.time()))]
+    outf = os.path.join(base, ".".join(parts))
+    os.makedirs(outf, exist_ok=True)
+    return outf
+
+
+def dump_settings(outf: str, cfg, logfile: str) -> None:
+    d = asdict(cfg) if is_dataclass(cfg) else dict(cfg)
+    with open(os.path.join(outf, "config.json"), "w") as f:
+        json.dump(d, f, indent=2, default=str)
+    with open(logfile, "a") as f:
+        for k in sorted(d):
+            f.write(f"\t{k.upper()}: {d[k]}\n")
+
+
+class Trainer:
+    def __init__(self, model, train_gen_factory, dev_gen_factory=None,
+                 outf: str = "result/run", seed: int = 0,
+                 critic_iters: Optional[int] = None,
+                 checkpoint_every: int = 5000,
+                 eval_hooks: Optional[Dict[int, Callable]] = None,
+                 lr_scale=None):
+        self.model = model
+        self.cfg = model.cfg
+        self.train_gen_factory = train_gen_factory
+        self.dev_gen_factory = dev_gen_factory
+        self.outf = outf
+        os.makedirs(outf, exist_ok=True)
+        self.logfile = os.path.join(outf, "logfile.txt")
+        dump_settings(outf, self.cfg, self.logfile)
+
+        self.k = self.cfg.critic_iters if critic_iters is None \
+            else critic_iters
+        self.step_fn, self.init_state = make_train_step(
+            model, critic_iters=self.k, lr_scale=lr_scale)
+        self.keys = KeyStream(seed)
+        self.logger = MetricLogger()
+        self.checkpoint_every = checkpoint_every
+        self.eval_hooks = eval_hooks or {}
+        self.state = None
+        self._start_iter = 0
+
+    # -- data ---------------------------------------------------------------
+
+    def _inf_batches(self):
+        while True:
+            for batch in self.train_gen_factory():
+                yield batch[0] if isinstance(batch, tuple) else batch
+
+    def _stacked(self, gen) -> np.ndarray:
+        n = 1 + self.k
+        return np.stack([next(gen) for _ in range(n)], axis=0)
+
+    # -- checkpoint ---------------------------------------------------------
+
+    def save(self, iteration: int) -> str:
+        path = os.path.join(self.outf, f"ckpt_{iteration}.npz")
+        return ckpt_lib.save(path, self.state,
+                             extra={"iteration": iteration,
+                                    "rng_count": self.keys.state()})
+
+    def try_resume(self) -> bool:
+        path = ckpt_lib.latest(self.outf)
+        if path is None:
+            return False
+        like = self.init_state(self.model.init(jax.random.PRNGKey(0)))
+        self.state, extra = ckpt_lib.restore(path, like)
+        self._start_iter = int(extra["iteration"]) + 1
+        self.keys.restore(int(extra["rng_count"]))
+        return True
+
+    # -- loop ---------------------------------------------------------------
+
+    def train(self, iters: Optional[int] = None,
+              resume: bool = True) -> Dict[str, float]:
+        iters = iters if iters is not None else self.cfg.iters
+        if self.state is None:
+            if not (resume and self.try_resume()):
+                params = self.model.init(self.keys.next())
+                self.state = self.init_state(params)
+
+        gen = self._inf_batches()
+        last: Dict[str, float] = {}
+        for iteration in range(self._start_iter, iters):
+            t0 = time.time()
+            raw = jnp.asarray(self._stacked(gen))
+            self.state, metrics = self.step_fn(
+                self.state, raw, self.keys.next(),
+                jnp.asarray(iteration > 0))
+            if "disc_cost" in metrics:
+                self.logger.plot("train disc cost",
+                                 float(metrics["disc_cost"]))
+            elif iteration > 0:
+                self.logger.plot("train gen cost", float(metrics["gen_cost"]))
+            self.logger.plot("time", time.time() - t0)
+            last = {k: float(v) for k, v in metrics.items()}
+
+            if iteration % 100 == 99 and self.dev_gen_factory is not None:
+                self._dev_sweep()
+
+            if iteration < 5 or iteration % 100 == 99:
+                self.logger.flush(self.outf, self.logfile, render=False)
+            self.logger.tick()
+
+            for every, hook in self.eval_hooks.items():
+                if iteration % every == every - 1:
+                    hook(self, iteration)
+
+            if (iteration % self.checkpoint_every
+                    == self.checkpoint_every - 1) or iteration == iters - 1:
+                self.save(iteration)
+        return last
+
+    def _dev_sweep(self) -> None:
+        from graphical_gan_tpu.core import registry
+        has_rec = getattr(self.cfg, "has_rec_penalty", False)
+        gen_costs, rec_costs = [], []
+        for batch in self.dev_gen_factory():
+            x = batch[0] if isinstance(batch, tuple) else batch
+            g, aux = registry.apply(
+                lambda: self.model.gen_loss(jnp.asarray(x)),
+                self.state.params, self.keys.next())
+            gen_costs.append(float(g))
+            if has_rec and "rec_cost" in aux:
+                rec_costs.append(float(aux["rec_cost"]))
+        if rec_costs:
+            self.logger.plot("dev rec cost", float(np.mean(rec_costs)))
+            self.logger.plot("dev reg cost",
+                             float(np.mean(gen_costs) - np.mean(rec_costs)))
+        else:
+            self.logger.plot("dev gen cost", float(np.mean(gen_costs)))

@@ -1,0 +1,121 @@
+"""Data-parallel training on the 8-device virtual CPU mesh:
+DP step == single-device step (exact batch partitioning), and checkpoint
+round-trips."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graphical_gan_tpu.core.config import gan_inference_defaults
+from graphical_gan_tpu.models.gan_inference import GanInferenceModel
+from graphical_gan_tpu.parallel.mesh import (
+    make_mesh, make_parallel_train_step, replicate, shard_batch,
+)
+from graphical_gan_tpu.train import checkpoint
+from graphical_gan_tpu.train.step import make_train_step
+
+KEY = jax.random.PRNGKey(0)
+
+
+def make_model():
+    cfg = gan_inference_defaults("mnist", "ali", dim=8, batch_size=16)
+    return GanInferenceModel(cfg)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_matches_single_device():
+    model = make_model()
+    cfg = model.cfg
+    raw_np = np.random.RandomState(0).rand(
+        2, cfg.batch_size, 784).astype("float32")
+    key = jax.random.PRNGKey(5)
+
+    # single device
+    step1, init1 = make_train_step(model, donate=False)
+    params = model.init(KEY)
+    s1, m1 = step1(init1(params), jnp.asarray(raw_np), key, jnp.asarray(True))
+
+    # 8-device DP
+    mesh = make_mesh(8)
+    stepN, initN, place = make_parallel_train_step(model, mesh, donate=False)
+    params2 = model.init(KEY)
+    state = place(initN(params2))
+    raw = shard_batch(mesh, jnp.asarray(raw_np))
+    sN, mN = stepN(state, raw, key, jnp.asarray(True))
+
+    np.testing.assert_allclose(float(m1["gen_cost"]), float(mN["gen_cost"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m1["disc_cost"]), float(mN["disc_cost"]),
+                               rtol=2e-4)
+    # f32 psum reduction order differs from the single-device sum; Adam's
+    # first step is ~sign(g)*lr, so near-zero grads may flip — allow up to
+    # one update magnitude (lr=2e-4) of absolute difference.
+    for n in s1.params:
+        np.testing.assert_allclose(
+            np.asarray(s1.params[n]), np.asarray(sN.params[n]),
+            atol=2.5e-4, err_msg=n)
+
+
+def test_dp_multi_step_stability():
+    model = make_model()
+    cfg = model.cfg
+    mesh = make_mesh(8)
+    step, init_state, place = make_parallel_train_step(model, mesh)
+    state = place(init_state(model.init(KEY)))
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        raw = shard_batch(mesh, jnp.asarray(
+            rng.rand(2, cfg.batch_size, 784).astype("float32")))
+        state, m = step(state, raw, jax.random.PRNGKey(i), jnp.asarray(True))
+    assert np.isfinite(float(m["gen_cost"]))
+    assert np.isfinite(float(m["disc_cost"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = make_model()
+    cfg = model.cfg
+    step, init_state = make_train_step(model, donate=False)
+    state = init_state(model.init(KEY))
+    raw = jnp.asarray(np.random.RandomState(0).rand(
+        2, cfg.batch_size, 784).astype("float32"))
+    state, _ = step(state, raw, jax.random.PRNGKey(1), jnp.asarray(True))
+
+    path = str(tmp_path / "ckpt_1.npz")
+    checkpoint.save(path, state, extra={"iteration": 1, "rng_count": 7})
+
+    like = init_state(model.init(jax.random.PRNGKey(9)))  # different values
+    restored, extra = checkpoint.restore(path, like)
+    assert extra == {"iteration": 1, "rng_count": 7}
+    for n in state.params:
+        np.testing.assert_array_equal(np.asarray(state.params[n]),
+                                      np.asarray(restored.params[n]))
+    # optimizer state round-trips too
+    np.testing.assert_array_equal(
+        np.asarray(state.gen_opt["m"]["Generator.Input.W"]),
+        np.asarray(restored.gen_opt["m"]["Generator.Input.W"]))
+    assert int(restored.step) == int(state.step)
+
+    # training continues identically from the restored state
+    s_a, m_a = step(state, raw, jax.random.PRNGKey(2), jnp.asarray(True))
+    s_b, m_b = step(restored, raw, jax.random.PRNGKey(2), jnp.asarray(True))
+    np.testing.assert_allclose(float(m_a["gen_cost"]), float(m_b["gen_cost"]),
+                               rtol=1e-6)
+
+
+def test_checkpoint_latest(tmp_path):
+    assert checkpoint.latest(str(tmp_path)) is None
+    state = {"a": jnp.ones((2,))}
+    checkpoint.save(str(tmp_path / "ckpt_5.npz"), state)
+    checkpoint.save(str(tmp_path / "ckpt_20.npz"), state)
+    assert checkpoint.latest(str(tmp_path)).endswith("ckpt_20.npz")
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    path = str(tmp_path / "c.npz")
+    checkpoint.save(path, {"a": jnp.ones((2,))})
+    with pytest.raises(ValueError):
+        checkpoint.restore(path, {"a": jnp.ones((3,))})
