@@ -60,22 +60,8 @@ class GanInferenceModel:
         return jnp.dtype(self.cfg.compute_dtype)
 
     def normalize(self, raw: jax.Array) -> jax.Array:
-        cfg = self.cfg
-        norm = cfg.data.normalization
-        if norm == "unit":
-            x = raw.astype(jnp.float32)
-        elif norm == "int_pm1":
-            x = 2.0 * (raw.astype(jnp.float32) / 255.0 - 0.5)
-        elif norm == "dequant":
-            # gan_inference_face.py:155-157
-            x = 2.0 * (raw.astype(jnp.float32) / 256.0 - 0.5)
-            x = x + jax.random.uniform(next_rng_key(), x.shape, minval=0.0,
-                                       maxval=1.0 / 128.0)
-        elif norm == "unit_pm1":
-            x = 2.0 * (raw.astype(jnp.float32) - 0.5)
-        else:
-            raise ValueError(norm)
-        return x.astype(self.compute_dtype)
+        from graphical_gan_tpu.models.common import normalize_input
+        return normalize_input(self.cfg, raw, self.compute_dtype)
 
     # -- graph --------------------------------------------------------------
 

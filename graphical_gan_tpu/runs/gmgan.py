@@ -1,0 +1,220 @@
+"""Entrypoints for model family 2 — the ``gmgan_inference_*`` scripts.
+
+Reproduces the reference evals (``gmgan_inference_mnist.py``):
+- per-component fixed-noise sample grids, rows=noise, cols=components
+  (``:405-419``) every 5000 iters,
+- fixed-dev-batch reconstruction grids (``:428-442``),
+- unsupervised clustering accuracy over the test set every 5000 iters
+  (``:513-531``),
+- final-iteration 4-way TSNE scatters: inferred latents by class, prior
+  samples by component, data by inferred cluster, data by class
+  (``:534-551``).
+
+    python -m graphical_gan_tpu.runs.gmgan --dataset mnist --mode local_ep
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphical_gan_tpu.core import registry
+from graphical_gan_tpu.core.config import gmgan_defaults
+from graphical_gan_tpu.metrics.clustering import clustering_accuracy
+from graphical_gan_tpu.models.gmgan import GMGanModel
+from graphical_gan_tpu.report.save_images import save_images
+from graphical_gan_tpu.train.trainer import Trainer, make_run_dir
+
+
+def _loaders(cfg, data_dir: Optional[str]):
+    from graphical_gan_tpu import data
+    if cfg.dataset == "mnist":
+        train, dev, test = data.mnist.load(cfg.batch_size, cfg.batch_size)
+        return train, dev, test
+    if cfg.dataset == "cifar10":
+        train, test = data.cifar10.load(cfg.batch_size, data_dir)
+        return train, test, test
+    if cfg.dataset == "svhn":
+        train, test = data.svhn.load(cfg.batch_size, data_dir or "/tmp/svhn")
+        return train, test, test
+    if cfg.dataset == "celeba":
+        train, dev = data.celeba.load(cfg.batch_size, data_dir)
+        return train, dev, None
+    raise ValueError(cfg.dataset)
+
+
+def _grid_shape(cfg, n):
+    h, w = cfg.data.image_hw
+    c = cfg.data.channels
+    return (n, c, h, w) if c > 1 else (n, h, w)
+
+
+def _to_grid_scale(cfg, flat):
+    return flat if cfg.data.normalization == "unit" else (flat + 1.0) / 2.0
+
+
+def make_sample_hook(model):
+    """Per-component grid: N_VIS samples, columns are mixture components
+    (``gmgan_inference_mnist.py:405-419``)."""
+    cfg = model.cfg
+    n_vis = cfg.n_vis - (cfg.n_vis % cfg.n_coms) or cfg.n_coms
+    fixed_noise = np.random.RandomState(0).normal(
+        size=(n_vis, cfg.dim_latent)).astype("float32")
+    fixed_k = np.tile(np.eye(cfg.n_coms, dtype=np.float32),
+                      (n_vis // cfg.n_coms, 1))
+
+    def hook(trainer, iteration):
+        params = trainer.state.params
+        samples = registry.apply(
+            lambda: model.sample(jnp.asarray(fixed_k),
+                                 jnp.asarray(fixed_noise)),
+            params, jax.random.PRNGKey(0))
+        img = _to_grid_scale(cfg, np.asarray(samples))
+        save_images(img.reshape(_grid_shape(cfg, n_vis)),
+                    os.path.join(trainer.outf,
+                                 f"{iteration}_samples_{cfg.mode}.png"),
+                    size=[n_vis // cfg.n_coms, cfg.n_coms])
+
+    return hook
+
+
+def make_recon_hook(model, fixed_dev_batch):
+    cfg = model.cfg
+
+    def hook(trainer, iteration):
+        params = trainer.state.params
+        rec = registry.apply(
+            lambda: model.reconstruct(jnp.asarray(fixed_dev_batch)), params,
+            jax.random.PRNGKey(1))
+        rec = _to_grid_scale(cfg, np.asarray(rec))
+        dat = _to_grid_scale(
+            cfg, np.asarray(registry.apply(
+                lambda: model.normalize(jnp.asarray(fixed_dev_batch)),
+                params, jax.random.PRNGKey(2))))
+        inter = np.stack([dat, rec], axis=1).reshape(-1, dat.shape[-1])
+        save_images(inter.reshape(_grid_shape(cfg, 2 * len(fixed_dev_batch))),
+                    os.path.join(trainer.outf,
+                                 f"{iteration}_reconstruction_{cfg.mode}.png"))
+
+    return hook
+
+
+def make_accuracy_hook(model, test_gen_factory):
+    """Clustering accuracy over the full test sweep (``:513-531``)."""
+    cfg = model.cfg
+
+    def hook(trainer, iteration):
+        probs, ys = [], []
+        for xb, yb in test_gen_factory():
+            p = registry.apply(
+                lambda: model.cluster_probs(jnp.asarray(xb)),
+                trainer.state.params, jax.random.PRNGKey(0))
+            probs.append(np.asarray(p))
+            ys.append(yb)
+        acc = clustering_accuracy(np.vstack(probs), np.hstack(ys))
+        trainer.logger.plot("testing accuracy", acc)
+
+    return hook
+
+
+def tsne_visualizations(trainer, model, dev_gen_factory, iteration):
+    """Final-iteration 4-way TSNE scatter (``:534-551``)."""
+    from graphical_gan_tpu.report.visualization import scatter, tsne_2d
+    cfg = model.cfg
+    z_dev, y_dev, x_dev, qk_dev, pz_dev, pk_dev = [], [], [], [], [], []
+    rng = np.random.RandomState(0)
+    for xb, yb in dev_gen_factory():
+        def fwd():
+            real = model.normalize(jnp.asarray(xb))
+            from graphical_gan_tpu.models import networks
+            q_z, _, _ = networks.extractor(cfg, real)
+            _, q_k = model.hyper_extractor(q_z)
+            b = xb.shape[0]
+            noise = jax.random.normal(registry.next_rng_key(),
+                                      (b, cfg.dim_latent))
+            idx = jax.random.randint(registry.next_rng_key(), (b,), 0,
+                                     cfg.n_coms)
+            k = jax.nn.one_hot(idx, cfg.n_coms)
+            p_z = model.hyper_generator(k, noise)
+            return q_z, q_k, p_z, idx
+
+        q_z, q_k, p_z, pk = registry.apply(
+            fwd, trainer.state.params,
+            jax.random.PRNGKey(rng.randint(1 << 30)))
+        z_dev.append(np.asarray(q_z))
+        qk_dev.append(np.argmax(np.asarray(q_k), axis=1))
+        pz_dev.append(np.asarray(p_z))
+        pk_dev.append(np.asarray(pk))
+        y_dev.append(yb)
+        x_dev.append(xb)
+
+    z2 = tsne_2d(np.vstack(z_dev))
+    scatter(z2, np.hstack(y_dev), trainer.outf,
+            f"{iteration}_manifold_{cfg.mode}.png")
+    pz2 = tsne_2d(np.vstack(pz_dev))
+    scatter(pz2, np.hstack(pk_dev), trainer.outf,
+            f"{iteration}_prior_{cfg.mode}.png")
+    x2 = tsne_2d(np.vstack(x_dev))
+    scatter(x2, np.hstack(qk_dev), trainer.outf,
+            f"{iteration}_cluster_{cfg.mode}.png")
+    scatter(x2, np.hstack(y_dev), trainer.outf,
+            f"{iteration}_dev_data_vis_{cfg.mode}.png")
+
+
+def run(dataset: str = "mnist", mode: str = "local_ep",
+        iters: Optional[int] = None, data_dir: Optional[str] = None,
+        outdir: str = "result", seed: int = 0, checkpoint_every: int = 5000,
+        eval_every: int = 5000, **overrides):
+    cfg = gmgan_defaults(dataset, mode, **overrides)
+    model = GMGanModel(cfg)
+    train_gen, dev_gen, test_gen = _loaders(cfg, data_dir)
+
+    outf = make_run_dir(outdir, f"gmgan_inference_{dataset}",
+                        {"MODE": mode, "N_COMS": cfg.n_coms})
+    fixed_dev = next(iter(dev_gen()))
+    if isinstance(fixed_dev, tuple):
+        fixed_dev = fixed_dev[0]
+
+    hooks = [make_sample_hook(model), make_recon_hook(model, fixed_dev)]
+    if test_gen is not None:
+        hooks.append(make_accuracy_hook(model, test_gen))
+
+    def combined(trainer, iteration):
+        for h in hooks:
+            h(trainer, iteration)
+
+    trainer = Trainer(model, train_gen, dev_gen, outf=outf, seed=seed,
+                      checkpoint_every=checkpoint_every,
+                      eval_hooks={eval_every: combined})
+    metrics = trainer.train(iters)
+    return trainer, metrics
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="mnist",
+                   choices=["mnist", "svhn", "cifar10", "celeba"])
+    p.add_argument("--mode", default="local_ep",
+                   choices=["ali", "local_ep", "alice", "local_epce",
+                            "vegan"])
+    p.add_argument("--mode-k", default="CONCRETE")
+    p.add_argument("--n-coms", type=int, default=None)
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--outdir", default="result")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    overrides = {"mode_k": args.mode_k}
+    if args.n_coms:
+        overrides["n_coms"] = args.n_coms
+    run(args.dataset, args.mode, iters=args.iters, data_dir=args.data_dir,
+        outdir=args.outdir, seed=args.seed, **overrides)
+
+
+if __name__ == "__main__":
+    main()
