@@ -275,6 +275,11 @@ class SSGanConfig:
         return self.dim_latent_l
 
     @property
+    def data(self) -> DataSpec:
+        return DataSpec(self.dataset, self.image_hw, self.channels,
+                        "unit_pm1")
+
+    @property
     def output_dim(self) -> int:
         return self.image_hw[0] * self.image_hw[1] * self.channels
 

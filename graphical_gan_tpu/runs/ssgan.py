@@ -1,0 +1,187 @@
+"""Entrypoints for model family 3 — the ``ssgan_inference_*`` scripts.
+
+Reproduces the reference instruments (``ssgan_inference_moving_mnist.py``):
+per-player parameter counts at startup (``:635-641``); every 5000 iters,
+fixed-noise video sample grids + animated GIFs (``:569-587``), interleaved
+reconstruction grids (``:590-602``), and the content/motion disentanglement
+grids — inferred per-frame motion codes regenerated under one fixed global
+code/label (``:604-618``).
+
+    python -m graphical_gan_tpu.runs.ssgan --dataset moving_mnist --mode local_ep
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphical_gan_tpu.core import registry
+from graphical_gan_tpu.core.config import ssgan_defaults
+from graphical_gan_tpu.models.ssgan import SSGanModel
+from graphical_gan_tpu.report.save_images import save_gifs, save_images
+from graphical_gan_tpu.train.trainer import Trainer, make_run_dir
+
+
+def binarize_labels(y: np.ndarray, n_c: int) -> np.ndarray:
+    out = np.zeros((y.shape[0], n_c), np.float32)
+    out[np.arange(y.shape[0]), y.astype(int)] = 1.0
+    return out
+
+
+def _loaders(cfg, data_dir: Optional[str]):
+    from graphical_gan_tpu import data
+    if cfg.dataset == "moving_mnist":
+        train, test = data.moving_mnist.load_video(cfg.seq_len,
+                                                   cfg.batch_size)
+
+        def wrap(factory):
+            def get_epoch():
+                for x, y in factory():
+                    yield {"x": x, "y": binarize_labels(y, cfg.n_classes)}
+            return get_epoch
+
+        return wrap(train), wrap(test)
+    if cfg.dataset == "chairs":
+        train, dev = data.chairs.load(cfg.seq_len, cfg.batch_size,
+                                      size=cfg.image_hw[0],
+                                      data_dir=data_dir)
+        return train, dev
+    raise ValueError(cfg.dataset)
+
+
+def _vis(cfg, outf, x: np.ndarray, iteration: int, num: int, name: str):
+    """Montage grid (rows=videos, cols=timesteps) + animated GIF (``:569-576``)."""
+    c = cfg.channels
+    hgt, wdt = cfg.image_hw
+    frames = x.reshape(-1, c, hgt, wdt)
+    save_images(frames, os.path.join(outf, f"{name}_{iteration}.png"),
+                size=(num, cfg.seq_len))
+    save_gifs(x.reshape(num, cfg.seq_len, c, hgt, wdt),
+              os.path.join(outf, f"{name}_{iteration}.gif"))
+
+
+def make_eval_hook(model, fixed_dev):
+    cfg = model.cfg
+    n_vis = cfg.batch_size
+    rng = np.random.RandomState(0)
+    pre_fixed = rng.normal(size=(n_vis, cfg.dim_latent_l)).astype("float32")
+    fixed_g = rng.normal(size=(n_vis, cfg.dim_latent_g)).astype("float32")
+    if cfg.conditional:
+        fixed_y = np.tile(np.eye(cfg.n_classes, dtype="float32"),
+                          (max(1, n_vis // cfg.n_classes), 1))[:n_vis]
+    else:
+        fixed_y = None
+    dev_x = fixed_dev["x"] if isinstance(fixed_dev, dict) else fixed_dev
+    dev_y = fixed_dev.get("y") if isinstance(fixed_dev, dict) else None
+    dis_g = np.tile(rng.normal(size=(1, cfg.dim_latent_g)),
+                    (dev_x.shape[0], 1)).astype("float32")
+    dis_y = (binarize_labels(np.ones(dev_x.shape[0]), cfg.n_classes)
+             if cfg.conditional else None)
+
+    def hook(trainer, iteration):
+        params = trainer.state.params
+        samples = registry.apply(
+            lambda: model.sample(
+                jnp.asarray(pre_fixed), jnp.asarray(fixed_g),
+                jnp.asarray(fixed_y) if fixed_y is not None else None),
+            params, jax.random.PRNGKey(0))
+        s = (np.asarray(samples) + 1.0) / 2.0
+        _vis(cfg, trainer.outf, s, iteration, n_vis, "samples")
+
+        rec = registry.apply(
+            lambda: model.reconstruct(
+                jnp.asarray(dev_x),
+                jnp.asarray(dev_y) if dev_y is not None else None),
+            params, jax.random.PRNGKey(1))
+        rec = (np.asarray(rec) + 1.0) / 2.0
+        inter = np.stack([dev_x, rec], axis=1).reshape(
+            -1, cfg.seq_len, cfg.output_dim)
+        _vis(cfg, trainer.outf, inter, iteration, 2 * dev_x.shape[0],
+             "reconstruction")
+
+        dis = registry.apply(
+            lambda: model.disentangle(
+                jnp.asarray(dev_x),
+                jnp.asarray(dev_y) if dev_y is not None else None,
+                jnp.asarray(dis_g),
+                jnp.asarray(dis_y) if dis_y is not None else None),
+            params, jax.random.PRNGKey(2))
+        dis = (np.asarray(dis) + 1.0) / 2.0
+        inter = np.stack([dev_x, dis], axis=1).reshape(
+            -1, cfg.seq_len, cfg.output_dim)
+        _vis(cfg, trainer.outf, inter, iteration, 2 * dev_x.shape[0],
+             "disentangle")
+
+    return hook
+
+
+def log_player_param_counts(trainer, model):
+    """``ssgan_inference_moving_mnist.py:635-641``."""
+    params = trainer.state.params
+    gen = sum(int(np.prod(p.shape)) for n, p in params.items()
+              if n.startswith("Generator"))
+    ext = sum(int(np.prod(p.shape)) for n, p in params.items()
+              if n.startswith("Extractor"))
+    disc = sum(int(np.prod(p.shape)) for n, p in params.items()
+               if n.startswith("Discriminator"))
+    line = (f"Number of parameters in each player "
+            f"[{gen}, {ext}, {disc}, {gen + ext + disc}]")
+    print(line)
+    with open(trainer.logfile, "a") as f:
+        f.write(line + "\n")
+
+
+def run(dataset: str = "moving_mnist", mode: str = "local_ep",
+        iters: Optional[int] = None, data_dir: Optional[str] = None,
+        outdir: str = "result", seed: int = 0,
+        checkpoint_every: int = 5000, eval_every: int = 5000, **overrides):
+    cfg = ssgan_defaults(dataset, mode, **overrides)
+    model = SSGanModel(cfg)
+    train_gen, dev_gen = _loaders(cfg, data_dir)
+
+    outf = make_run_dir(outdir, f"ssgan_inference_{dataset}",
+                        {"MODE": mode, "ALI_MODE": cfg.ali_mode,
+                         "LEN": cfg.seq_len})
+    fixed_dev = next(iter(dev_gen()))
+
+    trainer = Trainer(model, train_gen, dev_gen, outf=outf, seed=seed,
+                      checkpoint_every=checkpoint_every,
+                      eval_hooks={eval_every: make_eval_hook(model,
+                                                             fixed_dev)})
+    # param counts need an initialized state
+    if trainer.state is None and not trainer.try_resume():
+        trainer.state = trainer.init_state(
+            model.init(trainer.keys.next()))
+    log_player_param_counts(trainer, model)
+    metrics = trainer.train(iters)
+    return trainer, metrics
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="moving_mnist",
+                   choices=["moving_mnist", "chairs"])
+    p.add_argument("--mode", default="local_ep",
+                   choices=["local_ep", "local_epce-z", "ali", "alice-z"])
+    p.add_argument("--pos-mode", default="naive_mean_field")
+    p.add_argument("--ali-mode", default="concat_x")
+    p.add_argument("--seq-len", type=int, default=None)
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--outdir", default="result")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    overrides = {"pos_mode": args.pos_mode, "ali_mode": args.ali_mode}
+    if args.seq_len:
+        overrides["seq_len"] = args.seq_len
+    run(args.dataset, args.mode, iters=args.iters, data_dir=args.data_dir,
+        outdir=args.outdir, seed=args.seed, **overrides)
+
+
+if __name__ == "__main__":
+    main()

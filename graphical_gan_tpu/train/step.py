@@ -86,6 +86,11 @@ def make_train_step(model, critic_iters: Optional[int] = None,
         loss, aux = registry.apply(lambda: model.disc_loss(raw), params, key)
         return loss, aux
 
+    def slice_batch(raw_batches, i):
+        # raw_batches is [(1+k), B, ...] — possibly a pytree (e.g. ssgan's
+        # {x, y}); slice the stacked sub-update axis on every leaf
+        return jax.tree.map(lambda a: a[i], raw_batches)
+
     def step(state: TrainState, raw_batches, key, do_gen) -> Tuple[TrainState, Dict]:
         metrics: Dict[str, jax.Array] = {}
         params = state.params
@@ -99,12 +104,12 @@ def make_train_step(model, critic_iters: Optional[int] = None,
         def do_g(_):
             (loss, aux), grads = jax.value_and_grad(
                 gen_loss_fn, has_aux=True)(gen_params, rest_g, g_key,
-                                           raw_batches[0])
+                                           slice_batch(raw_batches, 0))
             new_gen, new_opt = gen_opt.update(grads, gen_opt_state, gen_params)
             return new_gen, new_opt, loss
 
         def skip_g(_):
-            loss, _ = gen_loss_fn(gen_params, rest_g, g_key, raw_batches[0])
+            loss, _ = gen_loss_fn(gen_params, rest_g, g_key, slice_batch(raw_batches, 0))
             return gen_params, gen_opt_state, loss
 
         new_gen, gen_opt_state, gen_cost = jax.lax.cond(do_gen, do_g, skip_g,
@@ -120,7 +125,7 @@ def make_train_step(model, critic_iters: Optional[int] = None,
                 d_key = jax.random.fold_in(key, 1 + i)
                 (loss, aux), grads = jax.value_and_grad(
                     disc_loss_fn, has_aux=True)(disc_params, rest_d, d_key,
-                                                raw_batches[1 + i])
+                                                slice_batch(raw_batches, 1 + i))
                 new_disc, disc_opt_state = disc_opt.update(
                     grads, disc_opt_state, disc_params)
                 if disc_spec.weight_clip is not None:

@@ -90,9 +90,14 @@ class Trainer:
             for batch in self.train_gen_factory():
                 yield batch[0] if isinstance(batch, tuple) else batch
 
-    def _stacked(self, gen) -> np.ndarray:
-        n = 1 + self.k
-        return np.stack([next(gen) for _ in range(n)], axis=0)
+    def _stacked(self, gen):
+        """Stack (1+k) consecutive batches along a new sub-update axis;
+        batches may be arrays or pytrees (ssgan's {'x','y'} dicts)."""
+        items = [next(gen) for _ in range(1 + self.k)]
+        if isinstance(items[0], dict):
+            return {kk: np.stack([it[kk] for it in items], axis=0)
+                    for kk in items[0]}
+        return np.stack(items, axis=0)
 
     # -- checkpoint ---------------------------------------------------------
 
@@ -126,7 +131,7 @@ class Trainer:
         last: Dict[str, float] = {}
         for iteration in range(self._start_iter, iters):
             t0 = time.time()
-            raw = jnp.asarray(self._stacked(gen))
+            raw = jax.tree.map(jnp.asarray, self._stacked(gen))
             self.state, metrics = self.step_fn(
                 self.state, raw, self.keys.next(),
                 jnp.asarray(iteration > 0))
@@ -160,8 +165,9 @@ class Trainer:
         gen_costs, rec_costs = [], []
         for batch in self.dev_gen_factory():
             x = batch[0] if isinstance(batch, tuple) else batch
+            x = jax.tree.map(jnp.asarray, x)
             g, aux = registry.apply(
-                lambda: self.model.gen_loss(jnp.asarray(x)),
+                lambda: self.model.gen_loss(x),
                 self.state.params, self.keys.next())
             gen_costs.append(float(g))
             if has_rec and "rec_cost" in aux:
