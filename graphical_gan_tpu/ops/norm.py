@@ -27,10 +27,21 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+import os
+
 from graphical_gan_tpu.core.registry import param
 from graphical_gan_tpu.ops import initializers as inits
 
 _EPS = 1e-5
+
+# Pallas fused-BN path: off by default (identical numerics, fewer HBM
+# passes); enable per-process via GGAN_PALLAS=1 or enable_pallas().
+_USE_PALLAS = os.environ.get("GGAN_PALLAS", "0") == "1"
+
+
+def enable_pallas(flag: bool = True) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = flag
 
 
 def batchnorm(name: str, x: jax.Array, axes: Sequence[int] = None) -> jax.Array:
@@ -51,6 +62,9 @@ def batchnorm(name: str, x: jax.Array, axes: Sequence[int] = None) -> jax.Array:
         c = x.shape[-1]
         offset = param(name + ".offset", inits.zeros((c,)))
         scale = param(name + ".scale", inits.ones((c,)))
+        if _USE_PALLAS:
+            from graphical_gan_tpu.ops.pallas import fused_batchnorm_act
+            return fused_batchnorm_act(x, scale, offset, None, _EPS)
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=axes)
         var = jnp.var(x32, axis=axes)

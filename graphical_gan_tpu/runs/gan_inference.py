@@ -103,11 +103,75 @@ def make_eval_hooks(model, fixed_dev_batch):
     return hook
 
 
+def make_tsne_hook(model, dev_gen):
+    """Latent manifold scatter at the 50k cadence
+    (``gan_inference_mnist.py:473-480``): TSNE of dev-set codes, colored by
+    class label."""
+    def hook(trainer, iteration):
+        from graphical_gan_tpu.report.visualization import scatter, tsne_2d
+        cfg = model.cfg
+        zs, ys = [], []
+        for batch in dev_gen():
+            if not isinstance(batch, tuple):
+                return  # unlabeled dataset (celeba) — no class coloring
+            xb, yb = batch
+            z = registry.apply(
+                lambda: model.encode(jnp.asarray(xb)), trainer.state.params,
+                jax.random.PRNGKey(0))
+            zs.append(np.asarray(z))
+            ys.append(yb)
+        z2 = tsne_2d(np.vstack(zs))
+        scatter(z2, np.hstack(ys), trainer.outf,
+                f"{cfg.mode}_{cfg.dataset}_manifold_{iteration}.png")
+
+    return hook
+
+
+def make_inception_hook(model, n_samples: int = 50000,
+                        sample_batch: int = 100, classifier=None):
+    """Inception-score eval at the 10k cadence
+    (``gan_inference_cifar10.py:381-391,484-487``): n_samples generated in
+    batches of 100, [-1,1] -> [0,255] HWC, 10-split exp-mean-KL.  The
+    classifier is pluggable (see metrics/inception.py); when none is given
+    and torchvision InceptionV3 weights are unavailable locally the hook
+    logs a skip instead of failing the run."""
+    cfg = model.cfg
+
+    def hook(trainer, iteration):
+        nonlocal classifier
+        if classifier is None:
+            try:
+                from graphical_gan_tpu.metrics.inception import (
+                    TorchInceptionClassifier)
+                classifier = TorchInceptionClassifier()
+            except Exception as e:  # zero-egress env without local weights
+                trainer.logger.plot("inception score skipped", 0.0)
+                print(f"inception score skipped (no classifier): {e}")
+                return
+        from graphical_gan_tpu.metrics.inception import get_inception_score
+        h, w = cfg.data.image_hw
+        c = cfg.data.channels
+        imgs = []
+        for i in range(n_samples // sample_batch):
+            noise = jax.random.normal(jax.random.PRNGKey(i),
+                                      (sample_batch, cfg.dim_latent))
+            flat = registry.apply(lambda: model.sample(noise),
+                                  trainer.state.params, jax.random.PRNGKey(i))
+            x = ((np.asarray(flat) + 1.0) * (255.0 / 2)).astype("int32")
+            x = x.reshape(sample_batch, c, h, w).transpose(0, 2, 3, 1)
+            imgs.extend(list(x))
+        mean, std = get_inception_score(imgs, classifier)
+        trainer.logger.plot("inception score", mean)
+        trainer.logger.plot("inception score std", std)
+
+    return hook
+
+
 def run(dataset: str = "mnist", mode: str = "ali",
         iters: Optional[int] = None, data_dir: Optional[str] = None,
         outdir: str = "result", seed: int = 0,
         checkpoint_every: int = 5000, sample_every: Optional[int] = None,
-        **overrides):
+        tsne_every: int = 50000, inception_every: int = 10000, **overrides):
     cfg = gan_inference_defaults(dataset, mode, **overrides)
     model = GanInferenceModel(cfg)
     train_gen, dev_gen = _loaders(cfg, data_dir)
@@ -118,10 +182,24 @@ def run(dataset: str = "mnist", mode: str = "ali",
         fixed_dev = fixed_dev[0]
 
     sample_every = sample_every or (1000 if dataset == "celeba" else 5000)
+
+    def add_hook(hooks, every, fn):
+        if every in hooks:  # compose hooks sharing a cadence
+            prev = hooks[every]
+            hooks[every] = lambda tr, it: (prev(tr, it), fn(tr, it))
+        else:
+            hooks[every] = fn
+
+    hooks = {}
+    add_hook(hooks, sample_every, make_eval_hooks(model, fixed_dev))
+    if tsne_every:
+        add_hook(hooks, tsne_every, make_tsne_hook(model, dev_gen))
+    if dataset == "cifar10" and inception_every:
+        add_hook(hooks, inception_every, make_inception_hook(model))
     trainer = Trainer(
         model, train_gen, dev_gen, outf=outf, seed=seed,
         checkpoint_every=checkpoint_every,
-        eval_hooks={sample_every: make_eval_hooks(model, fixed_dev)},
+        eval_hooks=hooks,
         lr_scale=(lambda t: jnp.maximum(0.0, 1.0 - t / cfg.iters))
         if cfg.decay else None,
     )
