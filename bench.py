@@ -9,9 +9,12 @@ the measurement is hermetic (no downloads, no host input in the loop).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The counted work per iteration matches the reference accounting: one G
-update + CRITIC_ITERS D updates, each consuming a fresh BATCH_SIZE batch
-(the reference's per-iteration data consumption is (1+k)*B images; we report
-images/sec as total images consumed / wall time).
+update + CRITIC_ITERS (=5) D updates, each consuming a fresh BATCH_SIZE
+batch of its own; images/sec = total images consumed / wall time.  The
+measurement runs CHUNK iterations per device dispatch via ``lax.scan`` —
+the steady-state production shape (data sampling, both players' updates and
+the inter-iteration control flow all on device; the host only launches
+chunks), so Python dispatch overhead is excluded from the kernel timing.
 """
 
 import json
@@ -23,6 +26,8 @@ import jax
 import jax.numpy as jnp
 
 TARGET = 20_000.0  # images/sec/chip north star (BASELINE.md)
+CHUNK = 20         # train iterations fused per dispatch
+N_CHUNKS = 5
 
 
 def main():
@@ -45,27 +50,42 @@ def main():
     data = jnp.asarray(np.random.RandomState(0).randint(
         0, 256, size=(50_000, cfg.data.output_dim)).astype(np.int32))
 
-    def _iteration(state, data, key):
+    def one_iter(state, key):
         raw = sample_batches(data, jax.random.fold_in(key, 7), 1 + k,
                              cfg.batch_size)
-        return step(state, raw, key, jnp.asarray(True))
+        new_state, m = step(state, raw, key, jnp.asarray(True))
+        return new_state, m["disc_cost"]
 
-    # one fused program per iteration: data sampling + G step + k D steps,
-    # state donated in place
-    iteration = jax.jit(_iteration, donate_argnums=(0,))
+    def chunk(state, base_key):
+        keys = jax.random.split(base_key, CHUNK)
+        state, costs = jax.lax.scan(one_iter, state, keys)
+        return state, costs[-1]
 
-    # warmup / compile
-    state, m = iteration(state, data, jax.random.PRNGKey(1))
-    jax.block_until_ready(m["disc_cost"])
+    run_chunk = jax.jit(chunk, donate_argnums=(0,))
+    iters_per_dispatch = CHUNK
 
-    iters = 50
+    try:
+        # warmup / compile the scanned multi-iteration program
+        state, c = run_chunk(state, jax.random.PRNGKey(1))
+        jax.block_until_ready(c)
+    except Exception:
+        # some environments cap compiled-program size (e.g. remote-compile
+        # relays); fall back to one fused iteration per dispatch — async
+        # dispatch still overlaps host and device
+        run_chunk = jax.jit(one_iter, donate_argnums=(0,))
+        iters_per_dispatch = 1
+        state = init_state(model.init(jax.random.PRNGKey(0)))
+        state, c = run_chunk(state, jax.random.PRNGKey(1))
+        jax.block_until_ready(c)
+
+    n_dispatch = N_CHUNKS * CHUNK // iters_per_dispatch
     t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = iteration(state, data, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(m["disc_cost"])
+    for i in range(n_dispatch):
+        state, c = run_chunk(state, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(c)
     dt = time.perf_counter() - t0
 
-    images = iters * (1 + k) * cfg.batch_size
+    images = n_dispatch * iters_per_dispatch * (1 + k) * cfg.batch_size
     ips = images / dt
     n_chips = max(1, len(jax.devices()))
     per_chip = ips / n_chips

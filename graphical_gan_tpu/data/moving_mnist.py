@@ -94,7 +94,8 @@ def synthesize_batch(rng: np.random.RandomState, digits: np.ndarray,
 
 
 def _video_generator(images: np.ndarray, labels: np.ndarray, seq_length: int,
-                     batch_size: int, seed: Optional[int] = None):
+                     batch_size: int, seed: Optional[int] = None,
+                     use_native: bool = True):
     images = images.reshape(-1, DIGIT_SIZE, DIGIT_SIZE).astype(np.float32)
     rng = np.random.RandomState(seed)
 
@@ -102,8 +103,17 @@ def _video_generator(images: np.ndarray, labels: np.ndarray, seq_length: int,
         perm = rng.permutation(len(images))
         for i in range(len(images) // batch_size):
             idx = perm[i * batch_size:(i + 1) * batch_size]
-            yield (synthesize_batch(rng, images[idx], seq_length),
-                   labels[idx])
+            batch = None
+            if use_native:
+                # threaded C++ fast path (graphical_gan_tpu/native); same
+                # trajectory law, independent RNG stream
+                from graphical_gan_tpu.native import synthesize_batch_native
+                batch = synthesize_batch_native(
+                    images[idx], seq_length,
+                    seed=int(rng.randint(0, 2 ** 31)))
+            if batch is None:
+                batch = synthesize_batch(rng, images[idx], seq_length)
+            yield batch, labels[idx]
 
     return get_epoch
 
