@@ -50,38 +50,47 @@ def main():
     data = jnp.asarray(np.random.RandomState(0).randint(
         0, 256, size=(50_000, cfg.data.output_dim)).astype(np.int32))
 
-    def one_iter(state, key):
+    def one_iter_data(state, data, key):
+        # data must be an ARGUMENT (not a closure constant) or the resident
+        # dataset gets embedded into the HLO
         raw = sample_batches(data, jax.random.fold_in(key, 7), 1 + k,
                              cfg.batch_size)
         new_state, m = step(state, raw, key, jnp.asarray(True))
         return new_state, m["disc_cost"]
 
-    def chunk(state, base_key):
+    def chunk(state, data, base_key):
         keys = jax.random.split(base_key, CHUNK)
-        state, costs = jax.lax.scan(one_iter, state, keys)
+        state, costs = jax.lax.scan(
+            lambda s, kk: one_iter_data(s, data, kk), state, keys)
         return state, costs[-1]
+
+    # Remote-compile relays (PALLAS_AXON_REMOTE_COMPILE) cap compiled-program
+    # size and reject the scanned multi-iteration program; go straight to
+    # one-iteration-per-dispatch there.  Async dispatch still overlaps host
+    # and device, so the number is the device throughput either way.
+    import os
+    use_scan = not os.environ.get("PALLAS_AXON_REMOTE_COMPILE")
 
     run_chunk = jax.jit(chunk, donate_argnums=(0,))
     iters_per_dispatch = CHUNK
 
-    try:
-        # warmup / compile the scanned multi-iteration program
-        state, c = run_chunk(state, jax.random.PRNGKey(1))
-        jax.block_until_ready(c)
-    except Exception:
-        # some environments cap compiled-program size (e.g. remote-compile
-        # relays); fall back to one fused iteration per dispatch — async
-        # dispatch still overlaps host and device
-        run_chunk = jax.jit(one_iter, donate_argnums=(0,))
+    if use_scan:
+        try:
+            state, c = run_chunk(state, data, jax.random.PRNGKey(1))
+            jax.block_until_ready(c)
+        except Exception:
+            use_scan = False
+            state = init_state(model.init(jax.random.PRNGKey(0)))
+    if not use_scan:
+        run_chunk = jax.jit(one_iter_data, donate_argnums=(0,))
         iters_per_dispatch = 1
-        state = init_state(model.init(jax.random.PRNGKey(0)))
-        state, c = run_chunk(state, jax.random.PRNGKey(1))
+        state, c = run_chunk(state, data, jax.random.PRNGKey(1))
         jax.block_until_ready(c)
 
     n_dispatch = N_CHUNKS * CHUNK // iters_per_dispatch
     t0 = time.perf_counter()
     for i in range(n_dispatch):
-        state, c = run_chunk(state, jax.random.PRNGKey(2 + i))
+        state, c = run_chunk(state, data, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(c)
     dt = time.perf_counter() - t0
 

@@ -1,0 +1,13 @@
+"""Alias entrypoint mirroring the reference's `gan_inference_mnist.py`.
+
+    python -m graphical_gan_tpu.runs.gan_inference_mnist --mode ali
+"""
+from graphical_gan_tpu.runs.gan_inference import main as _main
+
+
+def main(argv=None):
+    _main(["--dataset", "mnist"] + (argv or __import__("sys").argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

@@ -127,9 +127,25 @@ class Trainer:
                 params = self.model.init(self.keys.next())
                 self.state = self.init_state(params)
 
+        # startup parameter-count logging (gan_inference_cifar10.py:425-428)
+        total = sum(int(np.prod(p.shape))
+                    for p in self.state.params.values())
+        line = f"Total number of parameters {total}"
+        print(line)
+        with open(self.logfile, "a") as f:
+            f.write(line + "\n")
+
+        # optional device profiling: GGAN_PROFILE=<dir> traces iterations
+        # [profile_start, profile_start+profile_steps)
+        profile_dir = os.environ.get("GGAN_PROFILE")
+        profile_start = int(os.environ.get("GGAN_PROFILE_START", "10"))
+        profile_steps = int(os.environ.get("GGAN_PROFILE_STEPS", "10"))
+
         gen = self._inf_batches()
         last: Dict[str, float] = {}
         for iteration in range(self._start_iter, iters):
+            if profile_dir and iteration == profile_start:
+                jax.profiler.start_trace(profile_dir)
             t0 = time.time()
             raw = jax.tree.map(jnp.asarray, self._stacked(gen))
             self.state, metrics = self.step_fn(
@@ -142,6 +158,10 @@ class Trainer:
                 self.logger.plot("train gen cost", float(metrics["gen_cost"]))
             self.logger.plot("time", time.time() - t0)
             last = {k: float(v) for k, v in metrics.items()}
+            if profile_dir and iteration == profile_start + profile_steps:
+                jax.tree.map(lambda a: a.block_until_ready(),
+                             self.state.params)
+                jax.profiler.stop_trace()
 
             if iteration % 100 == 99 and self.dev_gen_factory is not None:
                 self._dev_sweep()
