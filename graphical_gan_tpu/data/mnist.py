@@ -38,10 +38,6 @@ def load(batch_size: int, test_batch_size: int,
          n_labelled: Optional[int] = None,
          path: str = DEFAULT_PATH, synthetic_fallback: bool = True,
          synthetic_sizes: Tuple[int, int, int] = (50000, 10000, 10000)):
-    if n_labelled is not None:
-        raise NotImplementedError(
-            "n_labelled masking is part of the reference surface but unused "
-            "by every entry script; not yet implemented")
     data = None
     if os.path.isfile(path) or maybe_download(URL, path) \
             or maybe_download(URL_FALLBACK, path):
@@ -59,8 +55,20 @@ def load(batch_size: int, test_batch_size: int,
     train_x = np.ascontiguousarray(train_x, dtype=np.float32)
     dev_x = np.ascontiguousarray(dev_x, dtype=np.float32)
     test_x = np.ascontiguousarray(test_x, dtype=np.float32)
+
+    def make(x, y, bs):
+        if n_labelled is None:
+            return generator_factory(bs, x, np.asarray(y))
+        # semi-supervised mask: n_labelled examples flagged 1, shuffled with
+        # the data each epoch (``tflib/mnist.py:17-20,27-29``).  Divergence:
+        # the reference yields the FULL (unbatched) mask vector with every
+        # batch — an apparent bug; we yield the per-batch mask slice.
+        labelled = np.zeros(len(x), dtype=np.int32)
+        labelled[:n_labelled] = 1
+        return generator_factory(bs, x, np.asarray(y), labelled)
+
     return (
-        generator_factory(batch_size, train_x, np.asarray(train_y)),
-        generator_factory(test_batch_size, dev_x, np.asarray(dev_y)),
-        generator_factory(test_batch_size, test_x, np.asarray(test_y)),
+        make(train_x, train_y, batch_size),
+        make(dev_x, dev_y, test_batch_size),
+        make(test_x, test_y, test_batch_size),
     )

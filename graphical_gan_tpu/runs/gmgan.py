@@ -166,6 +166,44 @@ def tsne_visualizations(trainer, model, dev_gen_factory, iteration):
             f"{iteration}_dev_data_vis_{cfg.mode}.png")
 
 
+def make_gmgan_inception_hook(model, n_samples: int = 50000,
+                              sample_batch: int = 100, classifier=None):
+    """IS over samples drawn from the mixture prior
+    (``gmgan_inference_cifar10.py:429-442``)."""
+    cfg = model.cfg
+
+    def hook(trainer, iteration):
+        nonlocal classifier
+        if classifier is None:
+            try:
+                from graphical_gan_tpu.metrics.inception import (
+                    TorchInceptionClassifier)
+                classifier = TorchInceptionClassifier()
+            except Exception as e:
+                print(f"inception score skipped (no classifier): {e}")
+                return
+        from graphical_gan_tpu.metrics.inception import get_inception_score
+        h, w = cfg.data.image_hw
+        c = cfg.data.channels
+        imgs = []
+        for i in range(n_samples // sample_batch):
+            key = jax.random.PRNGKey(i)
+            noise = jax.random.normal(key, (sample_batch, cfg.dim_latent))
+            idx = jax.random.randint(jax.random.fold_in(key, 1),
+                                     (sample_batch,), 0, cfg.n_coms)
+            k1 = jax.nn.one_hot(idx, cfg.n_coms)
+            flat = registry.apply(lambda: model.sample(k1, noise),
+                                  trainer.state.params, key)
+            x = ((np.asarray(flat) + 1.0) * (255.0 / 2)).astype("int32")
+            imgs.extend(list(
+                x.reshape(sample_batch, c, h, w).transpose(0, 2, 3, 1)))
+        mean, std = get_inception_score(imgs, classifier)
+        trainer.logger.plot("inception score", mean)
+        trainer.logger.plot("inception score std", std)
+
+    return hook
+
+
 def run(dataset: str = "mnist", mode: str = "local_ep",
         iters: Optional[int] = None, data_dir: Optional[str] = None,
         outdir: str = "result", seed: int = 0, checkpoint_every: int = 5000,
@@ -183,6 +221,10 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
     hooks = [make_sample_hook(model), make_recon_hook(model, fixed_dev)]
     if test_gen is not None:
         hooks.append(make_accuracy_hook(model, test_gen))
+    if dataset == "cifar10":
+        # inception score over 50000 mixture-prior samples
+        # (gmgan_inference_cifar10.py:429-442,532-538)
+        hooks.append(make_gmgan_inception_hook(model))
 
     def combined(trainer, iteration):
         for h in hooks:

@@ -1,0 +1,89 @@
+"""Trainer loop: cadences, dev sweep, eval hooks, resume mid-run, metric
+classifier training."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphical_gan_tpu.core.config import gan_inference_defaults
+from graphical_gan_tpu.data.common import generator_factory
+from graphical_gan_tpu.models.gan_inference import GanInferenceModel
+from graphical_gan_tpu.train.trainer import Trainer
+
+
+def make_trainer(tmp_path, iters_data=64, **kw):
+    cfg = gan_inference_defaults("mnist", "ali", dim=8, batch_size=8)
+    model = GanInferenceModel(cfg)
+    rng = np.random.RandomState(0)
+    x = rng.rand(iters_data, 784).astype("float32")
+    y = rng.randint(0, 10, size=iters_data)
+    train = generator_factory(8, x, y, seed=0)
+    dev = generator_factory(8, x[:16], y[:16], seed=1)
+    return Trainer(model, train, dev, outf=str(tmp_path), **kw)
+
+
+def test_trainer_runs_and_logs(tmp_path):
+    calls = []
+    tr = make_trainer(tmp_path, checkpoint_every=3,
+                      eval_hooks={2: lambda t, i: calls.append(i)})
+    metrics = tr.train(iters=5, resume=False)
+    assert np.isfinite(metrics["gen_cost"])
+    assert calls == [1, 3]                      # every-2 cadence
+    assert os.path.isfile(os.path.join(str(tmp_path), "logfile.txt"))
+    assert os.path.isfile(os.path.join(str(tmp_path), "config.json"))
+    with open(os.path.join(str(tmp_path), "logfile.txt")) as f:
+        content = f.read()
+    assert "Total number of parameters" in content
+    # checkpoints at 3-cadence + final
+    assert os.path.isfile(os.path.join(str(tmp_path), "ckpt_2.npz"))
+    assert os.path.isfile(os.path.join(str(tmp_path), "ckpt_4.npz"))
+
+
+def test_trainer_resume_continues(tmp_path):
+    tr = make_trainer(tmp_path, checkpoint_every=2)
+    tr.train(iters=4, resume=False)
+    step4 = int(tr.state.step)
+
+    tr2 = make_trainer(tmp_path, checkpoint_every=2)
+    tr2.train(iters=6)                          # resumes from ckpt_3
+    assert tr2._start_iter == 4
+    assert int(tr2.state.step) == step4 + 2
+
+
+def test_dev_sweep_plots(tmp_path):
+    tr = make_trainer(tmp_path)
+    tr.train(iters=100, resume=False)
+    hist = tr.logger.history("dev gen cost")
+    assert len(hist) >= 1
+
+
+def test_metric_classifier_learns():
+    from graphical_gan_tpu.metrics.jax_classifier import MetricClassifier
+    # trivially separable 2-class problem: constant-intensity images
+    n = 256
+    rng = np.random.RandomState(0)
+    y = rng.randint(0, 2, size=n)
+    x = np.where(y[:, None] == 1, 200, 30) + rng.randint(
+        0, 20, size=(n, 3 * 8 * 8))
+    clf = MetricClassifier(image_hw=(8, 8), channels=3, n_classes=2, dim=8)
+    params = clf.fit(x.astype(np.int32), y, steps=60, batch_size=64)
+    acc = clf.accuracy(params, x.astype(np.int32), y)
+    assert acc > 0.95
+
+    # scoring interface plugs into the inception protocol
+    from graphical_gan_tpu.metrics.inception import get_inception_score
+    imgs = [x[i].reshape(3, 8, 8).transpose(1, 2, 0) for i in range(100)]
+    mean, std = get_inception_score(imgs, clf.as_prob_fn(params), splits=2)
+    assert 1.0 <= mean <= 2.0 + 1e-6
+
+
+def test_mnist_n_labelled():
+    from graphical_gan_tpu.data import mnist
+    train, dev, test = mnist.load(8, 8, n_labelled=32,
+                                  path="/nonexistent",
+                                  synthetic_sizes=(64, 32, 32))
+    x, y, lab = next(iter(train()))
+    assert x.shape == (8, 784) and lab.shape == (8,)
+    assert set(np.unique(lab)).issubset({0, 1})
