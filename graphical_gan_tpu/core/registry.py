@@ -44,9 +44,10 @@ Params = Dict[str, jax.Array]
 
 
 class _Context:
-    __slots__ = ("mode", "params", "key", "n_keys", "created")
+    __slots__ = ("mode", "params", "key", "n_keys", "created", "aliases")
 
-    def __init__(self, mode: str, params: Params, key: Optional[jax.Array]):
+    def __init__(self, mode: str, params: Params, key: Optional[jax.Array],
+                 aliases: Optional[Dict[str, str]] = None):
         assert mode in ("init", "apply")
         self.mode = mode
         self.params = params
@@ -54,6 +55,9 @@ class _Context:
         self.n_keys = 0
         # insertion-ordered names created during an init trace
         self.created = []
+        # name -> name redirection (reference alias_params,
+        # tflib/__init__.py:42-47): lookups follow the chain
+        self.aliases = dict(aliases or {})
 
 
 _local = threading.local()
@@ -93,6 +97,7 @@ def param(name: str, init_fn: Callable[[jax.Array], jax.Array]) -> jax.Array:
     lookup into the params pytree.
     """
     ctx = current_context()
+    name = _resolve_alias(ctx, name)
     if ctx.mode == "init":
         if name not in ctx.params:
             ctx.params[name] = init_fn(_name_key(ctx.key, name))
@@ -105,6 +110,29 @@ def param(name: str, init_fn: Callable[[jax.Array], jax.Array]) -> jax.Array:
             f"Parameter {name!r} not found in params passed to apply(). "
             f"Did the apply-time call path diverge from the init trace?"
         ) from None
+
+
+def _resolve_alias(ctx: _Context, name: str) -> str:
+    seen = set()
+    while name in ctx.aliases:
+        if name in seen:
+            raise ValueError(f"alias cycle at {name!r}")
+        seen.add(name)
+        name = ctx.aliases[name]
+    return name
+
+
+def alias_params(replace: Dict[str, str]) -> None:
+    """Redirect parameter names for the current trace
+    (``tflib/__init__.py:42-47``): after ``alias_params({'A': 'B'})``, any
+    ``param('A', ...)`` resolves to the parameter named 'B'.  Scoped to the
+    active init/apply context (no global mutable state)."""
+    current_context().aliases.update(replace)
+
+
+def delete_param_aliases() -> None:
+    """``tflib/__init__.py:46-47``."""
+    current_context().aliases.clear()
 
 
 def get_param_value(name: str) -> jax.Array:

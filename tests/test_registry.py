@@ -107,3 +107,19 @@ def test_rng_stream_distinct_keys():
 
     (k1, k2), _ = registry.init(model, jax.random.PRNGKey(0))
     assert not np.array_equal(np.asarray(k1), np.asarray(k2))
+
+
+def test_alias_params():
+    """alias_params redirects lookups (reference tflib/__init__.py:42-47)."""
+    def model():
+        a = registry.param("A", inits.normal((2,)))
+        registry.alias_params({"B": "A"})
+        b = registry.param("B", inits.normal((2,)))
+        registry.delete_param_aliases()
+        c = registry.param("B", inits.normal((2,)))
+        return a, b, c
+
+    (a, b, c), params = registry.init(model, jax.random.PRNGKey(0))
+    assert set(params) == {"A", "B"}
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
