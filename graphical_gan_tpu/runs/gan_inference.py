@@ -170,7 +170,7 @@ def make_inception_hook(model, n_samples: int = 50000,
 def run(dataset: str = "mnist", mode: str = "ali",
         iters: Optional[int] = None, data_dir: Optional[str] = None,
         outdir: str = "result", seed: int = 0,
-        checkpoint_every: int = 5000, sample_every: Optional[int] = None,
+        checkpoint_every: int = 5000, checkpoints_to_keep: int = 3, sample_every: Optional[int] = None,
         tsne_every: int = 50000, inception_every: int = 10000, **overrides):
     cfg = gan_inference_defaults(dataset, mode, **overrides)
     model = GanInferenceModel(cfg)
@@ -199,6 +199,7 @@ def run(dataset: str = "mnist", mode: str = "ali",
     trainer = Trainer(
         model, train_gen, dev_gen, outf=outf, seed=seed,
         checkpoint_every=checkpoint_every,
+                      checkpoints_to_keep=checkpoints_to_keep,
         eval_hooks=hooks,
         lr_scale=(lambda t: jnp.maximum(0.0, 1.0 - t / cfg.iters))
         if cfg.decay else None,

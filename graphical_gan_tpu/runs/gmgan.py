@@ -206,7 +206,7 @@ def make_gmgan_inception_hook(model, n_samples: int = 50000,
 
 def run(dataset: str = "mnist", mode: str = "local_ep",
         iters: Optional[int] = None, data_dir: Optional[str] = None,
-        outdir: str = "result", seed: int = 0, checkpoint_every: int = 5000,
+        outdir: str = "result", seed: int = 0, checkpoint_every: int = 5000, checkpoints_to_keep: int = 3,
         eval_every: int = 5000, **overrides):
     cfg = gmgan_defaults(dataset, mode, **overrides)
     model = GMGanModel(cfg)
@@ -232,6 +232,7 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
 
     trainer = Trainer(model, train_gen, dev_gen, outf=outf, seed=seed,
                       checkpoint_every=checkpoint_every,
+                      checkpoints_to_keep=checkpoints_to_keep,
                       eval_hooks={eval_every: combined})
     metrics = trainer.train(iters)
     return trainer, metrics

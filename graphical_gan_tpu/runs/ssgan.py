@@ -139,7 +139,7 @@ def log_player_param_counts(trainer, model):
 def run(dataset: str = "moving_mnist", mode: str = "local_ep",
         iters: Optional[int] = None, data_dir: Optional[str] = None,
         outdir: str = "result", seed: int = 0,
-        checkpoint_every: int = 5000, eval_every: int = 5000, **overrides):
+        checkpoint_every: int = 5000, checkpoints_to_keep: int = 3, eval_every: int = 5000, **overrides):
     cfg = ssgan_defaults(dataset, mode, **overrides)
     model = SSGanModel(cfg)
     train_gen, dev_gen = _loaders(cfg, data_dir)
@@ -151,6 +151,7 @@ def run(dataset: str = "moving_mnist", mode: str = "local_ep",
 
     trainer = Trainer(model, train_gen, dev_gen, outf=outf, seed=seed,
                       checkpoint_every=checkpoint_every,
+                      checkpoints_to_keep=checkpoints_to_keep,
                       eval_hooks={eval_every: make_eval_hook(model,
                                                              fixed_dev)})
     # param counts need an initialized state

@@ -84,17 +84,24 @@ def restore(path: str, like: Any) -> Tuple[Any, Dict]:
     return jax.tree_util.tree_unflatten(treedef, leaves), header["extra"]
 
 
-def latest(dirpath: str, prefix: str = "ckpt_") -> Optional[str]:
-    """Path of the highest-step checkpoint in ``dirpath`` (or None)."""
+def list_checkpoints(dirpath: str, prefix: str = "ckpt_"):
+    """Sorted [(step, path)] of well-formed ``<prefix><step>.npz`` files;
+    files that don't parse (e.g. manual ``ckpt_best.npz`` copies) are
+    ignored."""
     if not os.path.isdir(dirpath):
-        return None
-    best, best_step = None, -1
+        return []
+    out = []
     for fn in os.listdir(dirpath):
         if fn.startswith(prefix) and fn.endswith(".npz"):
             try:
                 step = int(fn[len(prefix):-4])
             except ValueError:
                 continue
-            if step > best_step:
-                best, best_step = os.path.join(dirpath, fn), step
-    return best
+            out.append((step, os.path.join(dirpath, fn)))
+    return sorted(out)
+
+
+def latest(dirpath: str, prefix: str = "ckpt_") -> Optional[str]:
+    """Path of the highest-step checkpoint in ``dirpath`` (or None)."""
+    ckpts = list_checkpoints(dirpath, prefix)
+    return ckpts[-1][1] if ckpts else None

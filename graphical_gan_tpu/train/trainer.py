@@ -61,6 +61,7 @@ class Trainer:
                  outf: str = "result/run", seed: int = 0,
                  critic_iters: Optional[int] = None,
                  checkpoint_every: int = 5000,
+                 checkpoints_to_keep: int = 3,
                  eval_hooks: Optional[Dict[int, Callable]] = None,
                  lr_scale=None):
         self.model = model
@@ -79,6 +80,7 @@ class Trainer:
         self.keys = KeyStream(seed)
         self.logger = MetricLogger()
         self.checkpoint_every = checkpoint_every
+        self.checkpoints_to_keep = checkpoints_to_keep
         self.eval_hooks = eval_hooks or {}
         self.state = None
         self._start_iter = 0
@@ -103,9 +105,19 @@ class Trainer:
 
     def save(self, iteration: int) -> str:
         path = os.path.join(self.outf, f"ckpt_{iteration}.npz")
-        return ckpt_lib.save(path, self.state,
-                             extra={"iteration": iteration,
-                                    "rng_count": self.keys.state()})
+        out = ckpt_lib.save(path, self.state,
+                            extra={"iteration": iteration,
+                                   "rng_count": self.keys.state()})
+        self._gc_checkpoints()
+        return out
+
+    def _gc_checkpoints(self) -> None:
+        # keep <= 0 (or None) means keep everything
+        if not self.checkpoints_to_keep or self.checkpoints_to_keep <= 0:
+            return
+        for _, path in ckpt_lib.list_checkpoints(
+                self.outf)[:-self.checkpoints_to_keep]:
+            os.unlink(path)
 
     def try_resume(self) -> bool:
         path = ckpt_lib.latest(self.outf)
