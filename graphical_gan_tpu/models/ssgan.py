@@ -413,9 +413,8 @@ class SSGanModel:
                        stride_len=sl4)
             h = _maybe_bn(cfg.bn, "Discriminator.BN4", h)
             h = dropout(leaky_relu(h), dr)
-            feat = 4 * 4 * 8 * dim
             h = h.reshape(b, -1)
-            feat = h.shape[1]
+            feat = h.shape[1]  # varies with seq_len (temporal stride config)
         else:
             raise ValueError(cfg.ali_mode)
 

@@ -30,9 +30,11 @@ def linear(name: str, input_dim: int, output_dim: int, x: jax.Array,
         if initialization[0] != "uniform":
             raise ValueError(f"Invalid initialization {initialization!r}")
         w_init = inits.uniform_range(initialization[1], shape, gain)
-    elif initialization == "orthogonal" or (
-            initialization is None and input_dim == output_dim):
-        # the reference defaults square layers to orthogonal (linear.py:76-77)
+    elif initialization == "orthogonal":
+        # NOTE: the reference's "orthogonal when None and square" branch
+        # (linear.py:76-77) is dead code — its elif chain catches None at the
+        # glorot branch (:55) first, so default init is ALWAYS glorot.
+        # Orthogonal therefore applies only when explicitly requested.
         w_init = inits.orthogonal(shape, gain)
     else:
         stdev = inits.linear_stdev(initialization, input_dim, output_dim)

@@ -88,8 +88,12 @@ def make_eval_hooks(model, fixed_dev_batch):
                 lambda: model.reconstruct(jnp.asarray(fixed_dev_batch)),
                 params, jax.random.PRNGKey(1))
             rec = _to_grid_scale(cfg, np.asarray(rec))
+            # normalize may draw RNG (celeba dequantization) — needs a
+            # registry context
             data_img = _to_grid_scale(
-                cfg, np.asarray(model.normalize(jnp.asarray(fixed_dev_batch))))
+                cfg, np.asarray(registry.apply(
+                    lambda: model.normalize(jnp.asarray(fixed_dev_batch)),
+                    params, jax.random.PRNGKey(2))))
             # interleave original/reconstruction rows (mnist:388-392)
             inter = np.stack([data_img, rec], axis=1).reshape(
                 -1, data_img.shape[-1])

@@ -235,6 +235,13 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
                       checkpoints_to_keep=checkpoints_to_keep,
                       eval_hooks={eval_every: combined})
     metrics = trainer.train(iters)
+    # final-iteration 4-way TSNE scatters (gmgan_inference_mnist.py:534-551)
+    if dataset != "celeba":
+        final = (iters if iters is not None else cfg.iters) - 1
+        try:
+            tsne_visualizations(trainer, model, dev_gen, final)
+        except Exception as e:  # visualization must not fail the run
+            print(f"tsne visualization skipped: {e}")
     return trainer, metrics
 
 

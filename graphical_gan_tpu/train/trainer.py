@@ -155,9 +155,11 @@ class Trainer:
 
         gen = self._inf_batches()
         last: Dict[str, float] = {}
+        trace_active = False
         for iteration in range(self._start_iter, iters):
             if profile_dir and iteration == profile_start:
                 jax.profiler.start_trace(profile_dir)
+                trace_active = True
             t0 = time.time()
             raw = jax.tree.map(jnp.asarray, self._stacked(gen))
             self.state, metrics = self.step_fn(
@@ -170,10 +172,11 @@ class Trainer:
                 self.logger.plot("train gen cost", float(metrics["gen_cost"]))
             self.logger.plot("time", time.time() - t0)
             last = {k: float(v) for k, v in metrics.items()}
-            if profile_dir and iteration == profile_start + profile_steps:
+            if trace_active and iteration >= profile_start + profile_steps:
                 jax.tree.map(lambda a: a.block_until_ready(),
                              self.state.params)
                 jax.profiler.stop_trace()
+                trace_active = False
 
             if iteration % 100 == 99 and self.dev_gen_factory is not None:
                 self._dev_sweep()
@@ -189,11 +192,12 @@ class Trainer:
             if (iteration % self.checkpoint_every
                     == self.checkpoint_every - 1) or iteration == iters - 1:
                 self.save(iteration)
+        if trace_active:
+            jax.profiler.stop_trace()
         return last
 
     def _dev_sweep(self) -> None:
         from graphical_gan_tpu.core import registry
-        has_rec = getattr(self.cfg, "has_rec_penalty", False)
         gen_costs, rec_costs = [], []
         for batch in self.dev_gen_factory():
             x = batch[0] if isinstance(batch, tuple) else batch
@@ -202,7 +206,10 @@ class Trainer:
                 lambda: self.model.gen_loss(x),
                 self.state.params, self.keys.next())
             gen_costs.append(float(g))
-            if has_rec and "rec_cost" in aux:
+            # rec/reg decomposition whenever the mode has a reconstruction
+            # term (reference logs it whenever rec_penalty is not None,
+            # gan_inference_cifar10.py:457-468)
+            if "rec_cost" in aux:
                 rec_costs.append(float(aux["rec_cost"]))
         if rec_costs:
             self.logger.plot("dev rec cost", float(np.mean(rec_costs)))

@@ -161,13 +161,28 @@ def test_linear_init_statistics():
     assert registry_params["l.b"].shape == (out_d,)
 
 
-def test_linear_orthogonal_default_for_square():
+def test_linear_explicit_orthogonal():
     def f(xx):
-        return linear("l", 64, 64, xx)  # initialization=None, square
+        return linear("l", 64, 64, xx, initialization="orthogonal")
 
     _, params = registry.init(f, KEY, jnp.zeros((1, 64)))
     w = np.asarray(params["l.W"])
     np.testing.assert_allclose(w.T @ w, np.eye(64), atol=1e-4)
+
+
+def test_linear_default_square_is_glorot_not_orthogonal():
+    """Reference parity: the reference's orthogonal-when-square branch is
+    unreachable (linear.py:55 catches None first) — default init is glorot
+    even for square layers."""
+    def f(xx):
+        return linear("l", 512, 512, xx)  # initialization=None, square
+
+    _, params = registry.init(f, KEY, jnp.zeros((1, 512)))
+    w = np.asarray(params["l.W"])
+    expected = math.sqrt(2.0 / (512 + 512))
+    assert abs(w.std() / expected - 1.0) < 0.02
+    # decidedly NOT orthogonal
+    assert np.abs(w.T @ w - np.eye(512)).max() > 0.05
 
 
 def test_linear_nd_input_reshape():
