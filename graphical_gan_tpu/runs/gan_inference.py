@@ -181,9 +181,15 @@ def run(dataset: str = "mnist", mode: str = "ali",
     train_gen, dev_gen = _loaders(cfg, data_dir)
 
     outf = make_run_dir(outdir, f"gan_inference_{dataset}", {"MODE": mode})
-    fixed_dev = next(iter(dev_gen()))
-    if isinstance(fixed_dev, tuple):
-        fixed_dev = fixed_dev[0]
+    if dataset == "cifar10":
+        # fixed seed-1234 test-set reconstruction batch
+        # (tflib/cifar10.py:14-19; gan_inference_cifar10.py:400-404)
+        from graphical_gan_tpu.data.cifar10 import get_reconstruction_data
+        fixed_dev = get_reconstruction_data(cfg.batch_size, data_dir)
+    else:
+        fixed_dev = next(iter(dev_gen()))
+        if isinstance(fixed_dev, tuple):
+            fixed_dev = fixed_dev[0]
 
     sample_every = sample_every or (1000 if dataset == "celeba" else 5000)
 

@@ -1,0 +1,114 @@
+"""Sample-quality scoring harness.
+
+Scores generator checkpoints (or sample arrays) with the inception-score
+protocol under a CHOSEN classifier, so two runs can be compared hermetically
+with the same instrument:
+
+    # score samples drawn from a checkpointed gan_inference model
+    python -m graphical_gan_tpu.tools.score_samples \
+        --ckpt result/run/ckpt_199999.npz --dataset cifar10 --mode ali \
+        --classifier torch            # torchvision InceptionV3 (needs weights)
+    # or a jax MetricClassifier checkpoint:
+    #   --classifier jax --classifier-ckpt clf.npz
+
+The "within 0.1 IS" comparison is only meaningful when both sample sets are
+scored by the SAME classifier — this tool records the classifier identity
+alongside the score.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def draw_samples(model, params, n_samples: int, batch: int = 100):
+    """Generator samples as uint8-range HWC arrays (reference protocol)."""
+    from graphical_gan_tpu.core import registry
+    cfg = model.cfg
+    h, w = cfg.data.image_hw
+    c = cfg.data.channels
+    imgs = []
+    for i in range(n_samples // batch):
+        noise = jax.random.normal(jax.random.PRNGKey(i),
+                                  (batch, cfg.dim_latent))
+        flat = registry.apply(lambda: model.sample(noise), params,
+                              jax.random.PRNGKey(i))
+        x = np.asarray(flat)
+        if cfg.data.normalization != "unit":
+            x = (x + 1.0) * (255.0 / 2)
+        else:
+            x = x * 255.0
+        x = np.clip(x, 0, 255)
+        imgs.extend(list(x.reshape(batch, c, h, w).transpose(0, 2, 3, 1)))
+    return imgs
+
+
+def make_classifier(kind: str, classifier_ckpt: Optional[str],
+                    image_hw, channels: int, clf_dim: int = 64,
+                    n_classes: int = 10):
+    if kind == "torch":
+        from graphical_gan_tpu.metrics.inception import (
+            TorchInceptionClassifier)
+        return TorchInceptionClassifier(), "torchvision-inception-v3"
+    if kind == "jax":
+        from graphical_gan_tpu.metrics.jax_classifier import MetricClassifier
+        from graphical_gan_tpu.train import checkpoint
+        clf = MetricClassifier(image_hw=image_hw, channels=channels,
+                               n_classes=n_classes, dim=clf_dim)
+        params = clf.init(jax.random.PRNGKey(0))
+        params, _ = checkpoint.restore(classifier_ckpt, params)
+        return clf.as_prob_fn(params), f"jax-metric-classifier:{classifier_ckpt}"
+    raise ValueError(kind)
+
+
+def main(argv=None):
+    from graphical_gan_tpu.core.config import gan_inference_defaults
+    from graphical_gan_tpu.metrics.inception import get_inception_score
+    from graphical_gan_tpu.models.gan_inference import GanInferenceModel
+    from graphical_gan_tpu.train import checkpoint
+    from graphical_gan_tpu.train.step import make_train_step
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--dataset", default="cifar10")
+    p.add_argument("--mode", default="ali")
+    p.add_argument("--n-samples", type=int, default=50000)
+    p.add_argument("--splits", type=int, default=10)
+    p.add_argument("--classifier", choices=["torch", "jax"], default="torch")
+    p.add_argument("--classifier-ckpt", default=None)
+    p.add_argument("--classifier-dim", type=int, default=64)
+    p.add_argument("--dim", type=int, default=None)
+    args = p.parse_args(argv)
+
+    overrides = {"dim": args.dim} if args.dim else {}
+    cfg = gan_inference_defaults(args.dataset, args.mode, **overrides)
+    model = GanInferenceModel(cfg)
+    _, init_state = make_train_step(model, jit=False)
+    like = init_state(model.init(jax.random.PRNGKey(0)))
+    state, extra = checkpoint.restore(args.ckpt, like)
+
+    classifier, ident = make_classifier(args.classifier,
+                                        args.classifier_ckpt,
+                                        cfg.data.image_hw,
+                                        cfg.data.channels,
+                                        clf_dim=args.classifier_dim)
+    imgs = draw_samples(model, state.params, args.n_samples)
+    mean, std = get_inception_score(imgs, classifier, splits=args.splits)
+    print(json.dumps({
+        "inception_score": round(mean, 4),
+        "inception_score_std": round(std, 4),
+        "classifier": ident,
+        "n_samples": len(imgs),
+        "ckpt": args.ckpt,
+        "ckpt_iteration": extra.get("iteration"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

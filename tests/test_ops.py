@@ -317,3 +317,62 @@ def test_py2_div_parity():
     fi, fo = inits.conv3d_fans(1, 32, 4, 4, 2, 2)
     assert fi == 1 * 16 * 4
     assert fo == ((32 * 16) // 4) * 4 // 2
+
+
+def test_conv2d_weightnorm_identity_at_init():
+    """Conv weightnorm: g initializes to per-output-filter norms, so the
+    first forward equals the plain conv (conv2d.py:90-100)."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 6, 6, 3).astype("float32"))
+
+    def f_wn(xx):
+        return conv2d("c", 3, 4, 3, xx, weightnorm=True)
+
+    out, params = registry.init(f_wn, KEY, x)
+    w = np.asarray(params["c.Filters"])
+    g = np.asarray(params["c.g"])
+    np.testing.assert_allclose(g, np.sqrt((w ** 2).sum((0, 1, 2))),
+                               rtol=1e-6)
+
+    def f_plain(xx):
+        return conv2d("c", 3, 4, 3, xx, weightnorm=False)
+
+    ref = registry.apply(f_plain, params, None, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_deconv2d_weightnorm_identity_at_init():
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(2, 4, 4, 3).astype("float32"))
+
+    def f_wn(xx):
+        return deconv2d("d", 3, 4, 5, xx, weightnorm=True)
+
+    out, params = registry.init(f_wn, KEY, x)
+    w = np.asarray(params["d.Filters"])  # (k,k,out,in); norms over (0,1,3)
+    g = np.asarray(params["d.g"])
+    np.testing.assert_allclose(g, np.sqrt((w ** 2).sum((0, 1, 3))),
+                               rtol=1e-6)
+
+    def f_plain(xx):
+        return deconv2d("d", 3, 4, 5, xx, weightnorm=False)
+
+    ref = registry.apply(f_plain, params, None, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_masked_conv_blocks_future_pixels():
+    """Type-'a' mask: output at (i,j) must not depend on input at (i,j) or
+    any later raster position."""
+    def f(xx):
+        return conv2d("c", 1, 1, 3, xx, mask_type=("a", 1), biases=False)
+
+    x0 = jnp.zeros((1, 5, 5, 1))
+    out0, params = registry.init(f, KEY, x0)
+    # perturb the center pixel; outputs at positions <= center must not move
+    x1 = x0.at[0, 2, 2, 0].set(10.0)
+    out1 = registry.apply(f, params, None, x1)
+    diff = np.abs(np.asarray(out1 - out0))[0, :, :, 0]
+    assert diff[2, 2] == 0          # center (mask 'a' excludes self)
+    assert diff[:2].sum() + diff[2, :3].sum() == 0  # strictly before center
+    assert diff[3, :].sum() > 0     # later rows do see it
