@@ -11,7 +11,7 @@ defaults of each script are reproducible via the ``*_defaults`` factories.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 # mode families -------------------------------------------------------------

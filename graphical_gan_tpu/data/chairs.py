@@ -13,7 +13,6 @@ from typing import Optional
 
 import numpy as np
 
-from graphical_gan_tpu.data.common import generator_factory
 
 
 def _rand_clip(rng: np.random.RandomState, x: np.ndarray, seq_length: int):

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 import urllib.request
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Optional
 
 import numpy as np
 

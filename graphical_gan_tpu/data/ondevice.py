@@ -13,8 +13,6 @@ under DP the gather shards with the batch axis.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -7,7 +7,6 @@ int [B,3072]; maps label 10 -> 0 (``tflib/svhn.py:36-45``).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

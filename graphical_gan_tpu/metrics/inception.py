@@ -19,7 +19,7 @@ sides of a comparison; the harness records which classifier produced a score.
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
 

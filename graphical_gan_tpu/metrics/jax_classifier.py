@@ -16,7 +16,7 @@ score both sample sets with the same classifier.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 import jax

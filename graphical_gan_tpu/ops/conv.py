@@ -17,7 +17,7 @@ Rebuild of ``tflib/ops/{conv2d,deconv2d,conv1d,conv3d}.py`` for TPU:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Optional, Tuple
 
 import numpy as np
 import jax

@@ -22,7 +22,7 @@ extending the param-sharding rule in ``make_parallel_train_step``.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

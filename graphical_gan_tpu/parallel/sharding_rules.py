@@ -20,7 +20,6 @@ heads (channel dim 1/3) and tiny vectors stay replicated.
 
 from __future__ import annotations
 
-import re
 from typing import Dict, Optional
 
 import jax

@@ -7,7 +7,7 @@ input transposes to BHWC; 2-D inputs reshape to square images.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -24,7 +24,6 @@ from typing import Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 
 def draw_samples(model, params, n_samples: int, batch: int = 100):
