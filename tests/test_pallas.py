@@ -81,3 +81,39 @@ def test_matches_registry_batchnorm_relu():
                                     params["bn.offset"], "relu")
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                atol=1e-4)
+
+
+def test_pallas_path_inside_model():
+    """GGAN_PALLAS: the fused kernel slots into the model batchnorm path
+    with identical losses and finite gradients (interpret mode on CPU)."""
+    import jax
+    from graphical_gan_tpu.core import registry
+    from graphical_gan_tpu.core.config import gan_inference_defaults
+    from graphical_gan_tpu.models.gan_inference import GanInferenceModel
+    from graphical_gan_tpu.ops import norm
+
+    cfg = gan_inference_defaults("mnist", "ali", dim=8, batch_size=4)
+    model = GanInferenceModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    raw = jnp.asarray(np.random.RandomState(0).rand(4, 784).astype("float32"))
+    key = jax.random.PRNGKey(1)
+
+    g_ref, _ = registry.apply(lambda: model.gen_loss(raw), params, key)
+    norm.enable_pallas(True)
+    try:
+        g_pallas, _ = registry.apply(lambda: model.gen_loss(raw), params, key)
+        gen, _ = registry.partition(params, model.GEN_PLAYER)
+        disc, _ = registry.partition(params, model.DISC_PLAYER)
+
+        def loss(gen_params):
+            p = registry.merge(gen_params, disc)
+            out, _ = registry.apply(lambda: model.gen_loss(raw), p, key)
+            return out
+
+        grads = jax.grad(loss)(gen)
+        finite = all(bool(jnp.isfinite(v).all()) for v in grads.values())
+    finally:
+        norm.enable_pallas(False)
+
+    np.testing.assert_allclose(float(g_pallas), float(g_ref), rtol=1e-4)
+    assert finite
