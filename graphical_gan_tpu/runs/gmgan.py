@@ -258,12 +258,18 @@ def main(argv=None):
     p.add_argument("--data-dir", default=None)
     p.add_argument("--outdir", default="result")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute-dtype", default=None,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--checkpoint-every", type=int, default=5000)
     args = p.parse_args(argv)
     overrides = {"mode_k": args.mode_k}
     if args.n_coms:
         overrides["n_coms"] = args.n_coms
+    if args.compute_dtype:
+        overrides["compute_dtype"] = args.compute_dtype
     run(args.dataset, args.mode, iters=args.iters, data_dir=args.data_dir,
-        outdir=args.outdir, seed=args.seed, **overrides)
+        outdir=args.outdir, seed=args.seed,
+        checkpoint_every=args.checkpoint_every, **overrides)
 
 
 if __name__ == "__main__":
