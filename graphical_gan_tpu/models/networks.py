@@ -25,10 +25,20 @@ from graphical_gan_tpu.ops import (
     batchnorm, conv2d, deconv2d, dropout, flatten_image, gaussian_noise,
     leaky_relu, linear, relu, unflatten_image,
 )
+from graphical_gan_tpu.ops.norm import batchnorm_act
 
 
 def _maybe_bn(flag: bool, name: str, x: jax.Array, axes=None) -> jax.Array:
     return batchnorm(name, x, axes=axes) if flag else x
+
+
+def _bn_act(flag: bool, name: str, x: jax.Array, act: str,
+            axes=None) -> jax.Array:
+    """act(batchnorm(x)) when BN is on (fusable into the Pallas kernel
+    under GGAN_PALLAS), plain activation otherwise."""
+    if flag:
+        return batchnorm_act(name, x, act, axes=axes)
+    return relu(x) if act == "relu" else leaky_relu(x)
 
 
 # ---------------------------------------------------------------------------
@@ -50,19 +60,16 @@ def _generator_28(cfg, noise):
     """``gan_inference_mnist.py:122-144`` — incl. the 8x8->7x7 crop at :134."""
     dim = cfg.dim
     h = linear("Generator.Input", cfg.dim_latent, 4 * 4 * 4 * dim, noise)
-    h = _maybe_bn(cfg.bn, "Generator.BN1", h, axes=[0])
-    h = relu(h)
+    h = _bn_act(cfg.bn, "Generator.BN1", h, "relu", axes=[0])
     h = h.reshape(-1, 4, 4, 4 * dim)
 
     h = deconv2d("Generator.2", 4 * dim, 2 * dim, 5, h)
-    h = _maybe_bn(cfg.bn, "Generator.BN2", h)
-    h = relu(h)
+    h = _bn_act(cfg.bn, "Generator.BN2", h, "relu")
 
     h = h[:, :7, :7, :]  # 8x8 -> 7x7 crop (reference crops NCHW [:, :, :7, :7])
 
     h = deconv2d("Generator.3", 2 * dim, dim, 5, h)
-    h = _maybe_bn(cfg.bn, "Generator.BN3", h)
-    h = relu(h)
+    h = _bn_act(cfg.bn, "Generator.BN3", h, "relu")
 
     h = deconv2d("Generator.5", dim, 1, 5, h)
     h = jax.nn.sigmoid(h)
@@ -73,17 +80,14 @@ def _generator_32(cfg, noise):
     """``gan_inference_cifar10.py:135-155`` — tanh output."""
     dim = cfg.dim
     h = linear("Generator.Input", cfg.dim_latent, 4 * 4 * 4 * dim, noise)
-    h = _maybe_bn(cfg.bn, "Generator.BN1", h, axes=[0])
-    h = relu(h)
+    h = _bn_act(cfg.bn, "Generator.BN1", h, "relu", axes=[0])
     h = h.reshape(-1, 4, 4, 4 * dim)
 
     h = deconv2d("Generator.2", 4 * dim, 2 * dim, 5, h)
-    h = _maybe_bn(cfg.bn, "Generator.BN2", h)
-    h = relu(h)
+    h = _bn_act(cfg.bn, "Generator.BN2", h, "relu")
 
     h = deconv2d("Generator.3", 2 * dim, dim, 5, h)
-    h = _maybe_bn(cfg.bn, "Generator.BN3", h)
-    h = relu(h)
+    h = _bn_act(cfg.bn, "Generator.BN3", h, "relu")
 
     h = deconv2d("Generator.5", dim, cfg.data.channels, 5, h)
     h = jnp.tanh(h)
@@ -131,11 +135,9 @@ def extractor(cfg, x_flat: jax.Array
     dim = cfg.dim
     h = leaky_relu(conv2d("Extractor.1", ch, dim, 5, x, stride=2))
     h = conv2d("Extractor.2", dim, 2 * dim, 5, h, stride=2)
-    h = _maybe_bn(cfg.bn, "Extractor.BN2", h)
-    h = leaky_relu(h)
+    h = _bn_act(cfg.bn, "Extractor.BN2", h, "leaky_relu")
     h = conv2d("Extractor.3", 2 * dim, 4 * dim, 5, h, stride=2)
-    h = _maybe_bn(cfg.bn, "Extractor.BN3", h)
-    h = leaky_relu(h)
+    h = _bn_act(cfg.bn, "Extractor.BN3", h, "leaky_relu")
     feat = 4 * 4 * 4 * dim
     h = h.reshape(-1, feat)
 
@@ -175,11 +177,9 @@ def discriminator_xz(cfg, x_flat: jax.Array, z: jax.Array) -> jax.Array:
         dim = cfg.dim
         h = leaky_relu(conv2d("Discriminator.1", ch, dim, 5, x, stride=2))
         h = conv2d("Discriminator.2", dim, 2 * dim, 5, h, stride=2)
-        h = _maybe_bn(cfg.bn, "Discriminator.BN2", h)
-        h = leaky_relu(h)
+        h = _bn_act(cfg.bn, "Discriminator.BN2", h, "leaky_relu")
         h = conv2d("Discriminator.3", 2 * dim, 4 * dim, 5, h, stride=2)
-        h = _maybe_bn(cfg.bn, "Discriminator.BN3", h)
-        h = leaky_relu(h)
+        h = _bn_act(cfg.bn, "Discriminator.BN3", h, "leaky_relu")
         feat = 4 * 4 * 4 * dim
         h = h.reshape(-1, feat)
 

@@ -56,6 +56,13 @@ def _maybe_bn(flag, name, x, axes=None):
     return batchnorm(name, x, axes=axes) if flag else x
 
 
+def _bn_act(flag, name, x, act, axes=None):
+    if flag:
+        from graphical_gan_tpu.ops.norm import batchnorm_act
+        return batchnorm_act(name, x, act, axes=axes)
+    return relu(x) if act == "relu" else leaky_relu(x)
+
+
 class SSGanModel:
     GEN_PLAYER = ("Generator", "Extractor")
     DISC_PLAYER = ("Discriminator",)
@@ -200,15 +207,13 @@ class SSGanModel:
 
         dim = cfg.dim
         h = linear("Generator.Input", in_dim, 4 * 4 * 8 * dim, z)
-        h = _maybe_bn(cfg.bn, "Generator.BN1", h, axes=[0])
-        h = relu(h)
+        h = _bn_act(cfg.bn, "Generator.BN1", h, "relu", axes=[0])
         h = h.reshape(b * L, 4, 4, 8 * dim)
         for i, (ci, co) in enumerate(
                 [(8 * dim, 4 * dim), (4 * dim, 2 * dim), (2 * dim, dim)],
                 start=2):
             h = deconv2d(f"Generator.{i}", ci, co, 5, h)
-            h = _maybe_bn(cfg.bn, f"Generator.BN{i}", h)
-            h = relu(h)
+            h = _bn_act(cfg.bn, f"Generator.BN{i}", h, "relu")
         h = jnp.tanh(deconv2d("Generator.5", dim, cfg.channels, 5, h))
         return flatten_image(h).reshape(b, L, cfg.output_dim)
 
@@ -227,8 +232,7 @@ class SSGanModel:
                 [(dim, 2 * dim), (2 * dim, 4 * dim), (4 * dim, 8 * dim)],
                 start=2):
             h = conv2d(f"Extractor.{i}", ci, co, 5, h, stride=2)
-            h = _maybe_bn(cfg.bn, f"Extractor.BN{i}", h)
-            h = leaky_relu(h)
+            h = _bn_act(cfg.bn, f"Extractor.BN{i}", h, "leaky_relu")
         feat = 4 * 4 * 8 * dim
         h = h.reshape(b * L, feat)
         in_dim = feat
@@ -254,8 +258,7 @@ class SSGanModel:
                 [(dim, 2 * dim), (2 * dim, 4 * dim), (4 * dim, 8 * dim)],
                 start=2):
             h = conv2d(f"Extractor.G.{i}", ci, co, 5, h, stride=2)
-            h = _maybe_bn(cfg.bn, f"Extractor.G.BN{i}", h)
-            h = leaky_relu(h)
+            h = _bn_act(cfg.bn, f"Extractor.G.BN{i}", h, "leaky_relu")
         feat = 4 * 4 * 8 * dim
         h = h.reshape(b, feat)
         in_dim = feat
@@ -292,8 +295,7 @@ class SSGanModel:
                 [(dim, 2 * dim), (2 * dim, 4 * dim), (4 * dim, 8 * dim)],
                 start=2):
             h = conv2d(f"Discriminator.{i}", ci, co, 5, h, stride=2)
-            h = _maybe_bn(cfg.bn, f"Discriminator.BN{i}", h)
-            h = leaky_relu(h)
+            h = _bn_act(cfg.bn, f"Discriminator.BN{i}", h, "leaky_relu")
             h = dropout(h, dr)
         feat = 4 * 4 * 8 * dim
         h = h.reshape(b * L, feat)
@@ -369,8 +371,7 @@ class SSGanModel:
                     [(dim, 2 * dim), (2 * dim, 4 * dim), (4 * dim, 8 * dim)],
                     start=2):
                 h = conv2d(f"Discriminator.{i}", ci, co, 5, h, stride=2)
-                h = _maybe_bn(cfg.bn, f"Discriminator.BN{i}", h)
-                h = leaky_relu(h)
+                h = _bn_act(cfg.bn, f"Discriminator.BN{i}", h, "leaky_relu")
                 h = dropout(h, dr)
             feat = 4 * 4 * 8 * dim
             h = h.reshape(b, feat)
@@ -385,8 +386,7 @@ class SSGanModel:
                     [(dim, 2 * dim), (2 * dim, 4 * dim), (4 * dim, 8 * dim)],
                     start=2):
                 h = conv2d(f"Discriminator.{i}", ci, co, 5, h, stride=2)
-                h = _maybe_bn(cfg.bn, f"Discriminator.BN{i}", h)
-                h = leaky_relu(h)
+                h = _bn_act(cfg.bn, f"Discriminator.BN{i}", h, "leaky_relu")
                 h = dropout(h, dr)
             h = conv2d("Discriminator.5", 8 * dim, cfg.dim_latent_g, 4, h,
                        stride=1, padding="VALID")
@@ -402,17 +402,17 @@ class SSGanModel:
             sl2 = 1 if L == 4 else 2
             h = conv3d("Discriminator.2", 4, dim, 2 * dim, 4, h, stride=2,
                        stride_len=sl2)
-            h = _maybe_bn(cfg.bn, "Discriminator.BN2", h)
-            h = dropout(leaky_relu(h), dr)
+            h = _bn_act(cfg.bn, "Discriminator.BN2", h, "leaky_relu")
+            h = dropout(h, dr)
             h = conv3d("Discriminator.3", 4, 2 * dim, 4 * dim, 4, h, stride=2,
                        stride_len=2)
-            h = _maybe_bn(cfg.bn, "Discriminator.BN3", h)
-            h = dropout(leaky_relu(h), dr)
+            h = _bn_act(cfg.bn, "Discriminator.BN3", h, "leaky_relu")
+            h = dropout(h, dr)
             sl4 = 1 if L == 4 else 2
             h = conv3d("Discriminator.4", 4, 4 * dim, 8 * dim, 4, h, stride=2,
                        stride_len=sl4)
-            h = _maybe_bn(cfg.bn, "Discriminator.BN4", h)
-            h = dropout(leaky_relu(h), dr)
+            h = _bn_act(cfg.bn, "Discriminator.BN4", h, "leaky_relu")
+            h = dropout(h, dr)
             h = h.reshape(b, -1)
             feat = h.shape[1]  # varies with seq_len (temporal stride config)
         else:

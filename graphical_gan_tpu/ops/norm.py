@@ -44,6 +44,30 @@ def enable_pallas(flag: bool = True) -> None:
     _USE_PALLAS = flag
 
 
+def batchnorm_act(name: str, x: jax.Array, act: str = None,
+                  axes: Sequence[int] = None) -> jax.Array:
+    """``act(batchnorm(x))`` — the universal conv-block tail in all three
+    model families.  With GGAN_PALLAS on (and the channels-last reduction
+    pattern), the whole stats+normalize+activation pipeline runs as the
+    fused Pallas kernel; otherwise the jnp path + activation."""
+    if axes is None:
+        axes = tuple(range(x.ndim - 1))
+    if _USE_PALLAS and tuple(axes) == tuple(range(x.ndim - 1)):
+        c = x.shape[-1]
+        offset = param(name + ".offset", inits.zeros((c,)))
+        scale = param(name + ".scale", inits.ones((c,)))
+        from graphical_gan_tpu.ops.pallas import fused_batchnorm_act
+        return fused_batchnorm_act(x, scale, offset, act, _EPS)
+    out = batchnorm(name, x, axes=axes)
+    if act == "relu":
+        return jnp.maximum(out, 0)
+    if act == "leaky_relu":
+        return jnp.maximum(0.2 * out, out)
+    if act is None:
+        return out
+    raise ValueError(act)
+
+
 def batchnorm(name: str, x: jax.Array, axes: Sequence[int] = None) -> jax.Array:
     """Batch-statistics normalization with learned per-feature offset/scale.
 
