@@ -312,3 +312,29 @@ def ssgan_defaults(dataset: str, mode: str = "local_ep", **overrides
 
 def asdict(cfg) -> dict:
     return dataclasses.asdict(cfg)
+
+
+def print_model_settings(locals_: dict, logfile: str = None) -> str:
+    """Reference-parity settings dump (``tflib/__init__.py:100-114``): print
+    all UPPERCASE names from a namespace (sorted), optionally appending to a
+    logfile.  The config dataclasses make this mostly obsolete, but scripts
+    ported 1:1 from the reference can keep their UPPERCASE style."""
+    rows = sorted((k, v) for k, v in locals_.items()
+                  if k.isupper() and k not in ("T", "SETTINGS", "ALL_SETTINGS"))
+    lines = ["Uppercase local vars:"]
+    lines += [f"\t{k}: {v}" for k, v in rows]
+    text = "\n".join(lines)
+    print(text)
+    if logfile is not None:
+        with open(logfile, "a") as f:
+            f.write(text + "\n")
+    return text
+
+
+def print_model_settings_dict(settings: dict) -> str:
+    """``tflib/__init__.py:116-121``."""
+    rows = sorted(settings.items())
+    lines = ["Settings dict:"] + [f"\t{k}: {v}" for k, v in rows]
+    text = "\n".join(lines)
+    print(text)
+    return text
