@@ -39,7 +39,8 @@ class MetricClassifier:
         self.n_classes = n_classes
         self.dim = dim
 
-    def forward(self, x_flat: jax.Array) -> jax.Array:
+    def trunk(self, x_flat: jax.Array) -> jax.Array:
+        """Pooled penultimate features [B, 4*dim] (also the FID features)."""
         h_, w_ = self.image_hw
         x = 2.0 * (x_flat.astype(jnp.float32) / 255.0 - 0.5)
         x = unflatten_image(x, self.channels, h_, w_)
@@ -52,8 +53,11 @@ class MetricClassifier:
         h = leaky_relu(batchnorm("Classifier.BN3",
                                  conv2d("Classifier.3", 2 * d, 4 * d, 3, h,
                                         stride=2)))
-        h = jnp.mean(h, axis=(1, 2))  # global average pool
-        return linear("Classifier.Output", 4 * d, self.n_classes, h)
+        return jnp.mean(h, axis=(1, 2))  # global average pool
+
+    def forward(self, x_flat: jax.Array) -> jax.Array:
+        h = self.trunk(x_flat)
+        return linear("Classifier.Output", 4 * self.dim, self.n_classes, h)
 
     def init(self, key: jax.Array, batch_size: int = 8) -> Params:
         x = jnp.zeros((batch_size,
@@ -104,6 +108,21 @@ class MetricClassifier:
         return params
 
     # -- scoring interface ---------------------------------------------------
+
+    def as_feature_fn(self, params: Params):
+        """Penultimate (pooled) features for FID (``metrics.fid``):
+        ``images_uint8[N,H,W,C] -> feats[N, 4*dim]``."""
+
+        @jax.jit
+        def feats(x_flat):
+            return registry.apply(lambda: self.trunk(x_flat), params, None)
+
+        def feature_fn(images_hwc: np.ndarray) -> np.ndarray:
+            x = np.transpose(np.asarray(images_hwc), (0, 3, 1, 2))
+            x = x.reshape(x.shape[0], -1).astype(np.int32)
+            return np.asarray(feats(jnp.asarray(x)))
+
+        return feature_fn
 
     def as_prob_fn(self, params: Params):
         """Returns ``images_uint8[N,H,W,C] -> probs[N,K]`` for
