@@ -119,3 +119,29 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
     checkpoint.save(path, {"a": jnp.ones((2,))})
     with pytest.raises(ValueError):
         checkpoint.restore(path, {"a": jnp.ones((3,))})
+
+
+def test_orbax_checkpoint_roundtrip_with_sharded_state(tmp_path):
+    """Orbax backend round-trips a TP-sharded train state with shardings."""
+    from graphical_gan_tpu.train import checkpoint_orbax as co
+    from graphical_gan_tpu.parallel.sharding_rules import (
+        make_tp_train_step)
+    from jax.sharding import Mesh
+
+    cfg = gan_inference_defaults("celeba", "ali", dim=16, dim_g=16, dim_d=16,
+                                 batch_size=8)
+    model = GanInferenceModel(cfg)
+    devs = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "model"))
+    step, init_state, place = make_tp_train_step(model, mesh, donate=False)
+    state = place(init_state(model.init(KEY)))
+
+    path = co.save(str(tmp_path / "ck"), state, extra={"iteration": 0})
+    like = place(init_state(model.init(jax.random.PRNGKey(5))))
+    restored, extra = co.restore(path, like)
+    assert extra == {"iteration": 0}
+    name = "Extractor.2.Filters"
+    np.testing.assert_array_equal(np.asarray(restored.params[name]),
+                                  np.asarray(state.params[name]))
+    # restored array keeps the TP sharding of `like`
+    assert not restored.params[name].sharding.is_fully_replicated
