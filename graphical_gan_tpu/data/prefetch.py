@@ -34,22 +34,48 @@ def prefetch_to_device(iterator: Iterator, size: int = 2,
 
         return jax.tree.map(xfer, item)
 
+    stop = threading.Event()
+
     def worker():
         try:
             for item in iterator:
-                q.put(put(item))
+                converted = put(item)
+                # bounded put that gives up once the consumer is gone,
+                # so abandoning the iterator can't pin device buffers
+                while not stop.is_set():
+                    try:
+                        q.put(converted, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except Exception as e:  # surfaced on the consuming side
-            q.put(e)
+            if not stop.is_set():
+                q.put(e)
         finally:
-            q.put(_SENTINEL)
+            try:
+                q.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
 
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, Exception):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        # consumer closed/abandoned the generator: release the worker and
+        # drop any queued device buffers
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

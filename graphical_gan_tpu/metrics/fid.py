@@ -39,10 +39,22 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
 
     diff = mu1 - mu2
     covmean = _sqrtm(sigma1 @ sigma2)
-    if not np.isfinite(covmean).all():
+    bad = (not np.isfinite(covmean).all()) or (
+        np.iscomplexobj(covmean)
+        and np.abs(covmean.imag).max() > 1e-3 * max(1.0,
+                                                    np.abs(covmean.real).max()))
+    if bad:
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = _sqrtm((sigma1 + offset) @ (sigma2 + offset))
     if np.iscomplexobj(covmean):
+        rel_imag = np.abs(covmean.imag).max() / max(
+            1.0, np.abs(covmean.real).max())
+        if rel_imag > 1e-2:
+            raise ValueError(
+                f"sqrtm produced a substantially complex result "
+                f"(rel imag {rel_imag:.3g}); covariances are too "
+                f"ill-conditioned for a trustworthy FID — use more samples "
+                f"or lower-dimensional features")
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
                  - 2.0 * np.trace(covmean))
@@ -58,7 +70,12 @@ def compute_fid(images_a, images_b,
                 feature_fn: Callable[[np.ndarray], np.ndarray],
                 batch_size: int = 100) -> float:
     """images: [N,H,W,C] uint8-range arrays; feature_fn maps a batch to
-    [B, D] features."""
+    [B, D] features.
+
+    CAVEAT for batch-statistics feature extractors (e.g. MetricClassifier,
+    whose BN uses current-batch stats by design): features depend on batch
+    composition, so FIDs are only comparable when computed with the SAME
+    batch_size and full batches. Use N divisible by batch_size."""
 
     def feats(images):
         out = []

@@ -29,3 +29,14 @@ def normalize_input(cfg, raw: jax.Array, compute_dtype) -> jax.Array:
     else:
         raise ValueError(norm)
     return x.astype(compute_dtype)
+
+
+def bn_act(flag: bool, name: str, x, act: str, axes=None):
+    """act(batchnorm(x)) when BN is enabled (fusable into the Pallas kernel
+    under GGAN_PALLAS); plain activation otherwise.  Shared by all model
+    families so the fused/unfused dispatch lives in exactly one place."""
+    from graphical_gan_tpu.ops.activations import activation
+    from graphical_gan_tpu.ops.norm import batchnorm_act
+    if flag:
+        return batchnorm_act(name, x, act, axes=axes)
+    return activation(act)(x)

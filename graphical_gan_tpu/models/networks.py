@@ -25,20 +25,7 @@ from graphical_gan_tpu.ops import (
     batchnorm, conv2d, deconv2d, dropout, flatten_image, gaussian_noise,
     leaky_relu, linear, relu, unflatten_image,
 )
-from graphical_gan_tpu.ops.norm import batchnorm_act
-
-
-def _maybe_bn(flag: bool, name: str, x: jax.Array, axes=None) -> jax.Array:
-    return batchnorm(name, x, axes=axes) if flag else x
-
-
-def _bn_act(flag: bool, name: str, x: jax.Array, act: str,
-            axes=None) -> jax.Array:
-    """act(batchnorm(x)) when BN is on (fusable into the Pallas kernel
-    under GGAN_PALLAS), plain activation otherwise."""
-    if flag:
-        return batchnorm_act(name, x, act, axes=axes)
-    return relu(x) if act == "relu" else leaky_relu(x)
+from graphical_gan_tpu.models.common import bn_act as _bn_act
 
 
 # ---------------------------------------------------------------------------
@@ -250,23 +237,19 @@ def discriminator_z(cfg, z: jax.Array) -> jax.Array:
     """
     h = gaussian_noise(z, std=0.3)
     h = linear("Discriminator.Input", cfg.dim_latent, 1024, h)
-    h = _maybe_bn(cfg.bn, "Discriminator.BN1", h, axes=[0])
-    h = leaky_relu(h)
+    h = _bn_act(cfg.bn, "Discriminator.BN1", h, "leaky_relu", axes=[0])
     h = gaussian_noise(h, std=0.5)
 
     h = linear("Discriminator.2", 1024, 512, h)
-    h = _maybe_bn(cfg.bn, "Discriminator.BN2", h, axes=[0])
-    h = leaky_relu(h)
+    h = _bn_act(cfg.bn, "Discriminator.BN2", h, "leaky_relu", axes=[0])
     h = gaussian_noise(h, std=0.5)
 
     h = linear("Discriminator.3", 512, 256, h)
-    h = _maybe_bn(cfg.bn, "Discriminator.BN3", h, axes=[0])
-    h = leaky_relu(h)
+    h = _bn_act(cfg.bn, "Discriminator.BN3", h, "leaky_relu", axes=[0])
     h = gaussian_noise(h, std=0.5)
 
     h = linear("Discriminator.4", 256, 256, h)
-    h = _maybe_bn(cfg.bn, "Discriminator.BN4", h, axes=[0])
-    h = leaky_relu(h)
+    h = _bn_act(cfg.bn, "Discriminator.BN4", h, "leaky_relu", axes=[0])
 
     out = linear("Discriminator.Output", 256, 1, h)
     return out.reshape(-1)

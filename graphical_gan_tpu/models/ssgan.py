@@ -52,15 +52,7 @@ from graphical_gan_tpu.ops.layout import flatten_image, unflatten_image
 Params = Dict[str, jax.Array]
 
 
-def _maybe_bn(flag, name, x, axes=None):
-    return batchnorm(name, x, axes=axes) if flag else x
-
-
-def _bn_act(flag, name, x, act, axes=None):
-    if flag:
-        from graphical_gan_tpu.ops.norm import batchnorm_act
-        return batchnorm_act(name, x, act, axes=axes)
-    return relu(x) if act == "relu" else leaky_relu(x)
+from graphical_gan_tpu.models.common import bn_act as _bn_act
 
 
 class SSGanModel:

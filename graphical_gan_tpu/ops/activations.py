@@ -15,13 +15,28 @@ import jax.numpy as jnp
 from graphical_gan_tpu.core import registry
 
 
+LEAKY_ALPHA = 0.2  # the reference's LeakyReLU slope (single source of truth)
+
+
 def relu(x: jax.Array) -> jax.Array:
     return jnp.maximum(x, 0)
 
 
-def leaky_relu(x: jax.Array, alpha: float = 0.2) -> jax.Array:
+def leaky_relu(x: jax.Array, alpha: float = LEAKY_ALPHA) -> jax.Array:
     """``max(alpha*x, x)`` — the reference's LeakyReLU."""
     return jnp.maximum(alpha * x, x)
+
+
+def activation(name):
+    """None | 'relu' | 'leaky_relu' -> callable (shared by the fused BN
+    paths so the unfused/pallas variants can't drift)."""
+    if name is None:
+        return lambda v: v
+    if name == "relu":
+        return relu
+    if name == "leaky_relu":
+        return leaky_relu
+    raise ValueError(name)
 
 
 def dropout(x: jax.Array, rate: float, training: bool = False,

@@ -58,14 +58,8 @@ def batchnorm_act(name: str, x: jax.Array, act: str = None,
         scale = param(name + ".scale", inits.ones((c,)))
         from graphical_gan_tpu.ops.pallas import fused_batchnorm_act
         return fused_batchnorm_act(x, scale, offset, act, _EPS)
-    out = batchnorm(name, x, axes=axes)
-    if act == "relu":
-        return jnp.maximum(out, 0)
-    if act == "leaky_relu":
-        return jnp.maximum(0.2 * out, out)
-    if act is None:
-        return out
-    raise ValueError(act)
+    from graphical_gan_tpu.ops.activations import activation
+    return activation(act)(batchnorm(name, x, axes=axes))
 
 
 def batchnorm(name: str, x: jax.Array, axes: Sequence[int] = None) -> jax.Array:

@@ -53,14 +53,7 @@ def _block_rows(n_rows: int) -> int:
     return n_rows
 
 
-def _act_fn(act: Optional[str]):
-    if act is None:
-        return lambda v: v
-    if act == "relu":
-        return lambda v: jnp.maximum(v, 0.0)
-    if act == "leaky_relu":
-        return lambda v: jnp.maximum(0.2 * v, v)
-    raise ValueError(act)
+from graphical_gan_tpu.ops.activations import LEAKY_ALPHA, activation as _act_fn
 
 
 def _act_grad(act: Optional[str], y):
@@ -70,7 +63,7 @@ def _act_grad(act: Optional[str], y):
     if act == "relu":
         return (y > 0).astype(y.dtype)
     if act == "leaky_relu":
-        return jnp.where(y > 0, 1.0, 0.2).astype(y.dtype)
+        return jnp.where(y > 0, 1.0, LEAKY_ALPHA).astype(y.dtype)
     raise ValueError(act)
 
 

@@ -32,8 +32,11 @@ def draw_samples(model, params, n_samples: int, batch: int = 100):
     cfg = model.cfg
     h, w = cfg.data.image_hw
     c = cfg.data.channels
+    if n_samples < batch:
+        raise ValueError(f"n_samples must be >= {batch}")
+    n_batches = -(-n_samples // batch)  # ceil: score at least n_samples
     imgs = []
-    for i in range(n_samples // batch):
+    for i in range(n_batches):
         noise = jax.random.normal(jax.random.PRNGKey(i),
                                   (batch, cfg.dim_latent))
         flat = registry.apply(lambda: model.sample(noise), params,
@@ -45,7 +48,7 @@ def draw_samples(model, params, n_samples: int, batch: int = 100):
             x = x * 255.0
         x = np.clip(x, 0, 255)
         imgs.extend(list(x.reshape(batch, c, h, w).transpose(0, 2, 3, 1)))
-    return imgs
+    return imgs[:n_samples]
 
 
 def make_classifier(kind: str, classifier_ckpt: Optional[str],
@@ -84,6 +87,8 @@ def main(argv=None):
     p.add_argument("--classifier-dim", type=int, default=64)
     p.add_argument("--dim", type=int, default=None)
     args = p.parse_args(argv)
+    if args.classifier == "jax" and not args.classifier_ckpt:
+        p.error("--classifier jax requires --classifier-ckpt")
 
     overrides = {"dim": args.dim} if args.dim else {}
     cfg = gan_inference_defaults(args.dataset, args.mode, **overrides)

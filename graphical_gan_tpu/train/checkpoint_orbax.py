@@ -24,17 +24,28 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+def _extra_path(path: str) -> str:
+    # sibling file, NOT inside the orbax directory: writing into a finalized
+    # checkpoint dir would break orbax's atomic-commit property
+    return path.rstrip("/") + ".extra.json"
+
+
 def save(path: str, state: Any, extra: Optional[Dict] = None) -> str:
-    """Write ``state`` (any pytree, possibly sharded) + JSON-able ``extra``."""
-    import orbax.checkpoint as ocp
+    """Write ``state`` (any pytree, possibly sharded) + JSON-able ``extra``.
+
+    Multi-host safe: every process calls save() (orbax coordinates the shard
+    writes); the extra metadata is written by process 0 only, atomically.
+    """
     path = os.path.abspath(path)
     ckptr = _checkpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
-    if extra:
+    if extra and jax.process_index() == 0:
         import json
-        with open(os.path.join(path, "extra.json"), "w") as f:
+        tmp = _extra_path(path) + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(extra, f)
+        os.replace(tmp, _extra_path(path))
     return path
 
 
@@ -44,9 +55,8 @@ def restore(path: str, like: Any) -> Tuple[Any, Dict]:
     path = os.path.abspath(path)
     ckptr = _checkpointer()
     state = ckptr.restore(path, like)
-    extra_path = os.path.join(path, "extra.json")
     extra = {}
-    if os.path.isfile(extra_path):
-        with open(extra_path) as f:
+    if os.path.isfile(_extra_path(path)):
+        with open(_extra_path(path)) as f:
             extra = json.load(f)
     return state, extra
