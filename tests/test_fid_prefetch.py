@@ -83,3 +83,42 @@ def test_prefetch_propagates_exceptions():
     next(it)
     with pytest.raises(RuntimeError, match="loader broke"):
         list(it)
+
+
+def test_prefetch_abandonment_releases_worker():
+    """Breaking out of the consumer must unblock and stop the worker."""
+    import threading
+    import time as _time
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield np.ones((2,)) * i
+
+    before = threading.active_count()
+    it = prefetch_to_device(gen(), size=2)
+    next(it)
+    it.close()  # abandon
+    _time.sleep(0.5)
+    # worker exits (thread count returns to baseline) and production stops
+    assert threading.active_count() <= before + 1
+    n = len(produced)
+    _time.sleep(0.3)
+    assert len(produced) <= n + 3  # no unbounded production after close
+
+
+def test_fid_rejects_ill_conditioned():
+    """Rank-deficient covariances with a strongly complex sqrtm raise
+    instead of returning a corrupted score (or pass through the eps
+    retry) — either way, never a silent garbage value."""
+    rng = np.random.RandomState(0)
+    # 10 samples in 64-D: wildly rank-deficient
+    a = rng.randn(10, 64)
+    b = rng.randn(10, 64)
+    try:
+        val = fid_from_features(a, b)
+        assert np.isfinite(val) and val >= -1e-6
+    except ValueError as e:
+        assert "complex" in str(e)
