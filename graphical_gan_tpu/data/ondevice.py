@@ -46,3 +46,16 @@ def make_sampler(data: jax.Array, n_batches: int, batch_size: int):
         return sample_batches(data, key, n_batches, batch_size)
 
     return sample
+
+
+def epoch_batches_ondevice(data: jax.Array, key: jax.Array,
+                           batch_size: int) -> jax.Array:
+    """One shuffled epoch as [n_batches, batch_size, ...] — on-device
+    permutation without replacement (the reference's epoch semantics,
+    ``tflib/cifar10.py:32-39``), remainder dropped.  Use inside a jitted
+    loop that scans over the leading axis."""
+    n = data.shape[0]
+    n_batches = n // batch_size
+    perm = jax.random.permutation(key, n)[:n_batches * batch_size]
+    batch = jnp.take(data, perm, axis=0)
+    return batch.reshape((n_batches, batch_size) + data.shape[1:])

@@ -145,3 +145,26 @@ def test_orbax_checkpoint_roundtrip_with_sharded_state(tmp_path):
                                   np.asarray(state.params[name]))
     # restored array keeps the TP sharding of `like`
     assert not restored.params[name].sharding.is_fully_replicated
+
+
+def test_epoch_batches_ondevice_without_replacement():
+    from graphical_gan_tpu.data.ondevice import epoch_batches_ondevice
+    data = jnp.arange(23 * 4).reshape(23, 4).astype(jnp.float32)
+    ep = epoch_batches_ondevice(data, jax.random.PRNGKey(0), 5)
+    assert ep.shape == (4, 5, 4)
+    rows = np.asarray(ep).reshape(-1, 4)
+    assert len({tuple(r) for r in rows}) == 20  # no repeats within an epoch
+    # different key -> different order
+    ep2 = epoch_batches_ondevice(data, jax.random.PRNGKey(1), 5)
+    assert (np.asarray(ep) != np.asarray(ep2)).any()
+
+
+def test_host_local_batches_single_process():
+    from graphical_gan_tpu.parallel.input import host_local_batches
+    mesh = make_mesh(8)
+    local = {"x": np.ones((2, 16, 4), np.float32),
+             "y": np.zeros((2, 16), np.float32)}
+    g = host_local_batches(mesh, local)
+    assert g["x"].shape == (2, 16, 4)
+    assert not g["x"].sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(g["y"]), local["y"])
