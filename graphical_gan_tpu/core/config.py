@@ -66,6 +66,7 @@ class DataSpec:
     #   'int_pm1'— int pixels -> 2*(x/255 - .5) in [-1,1]  (cifar10/svhn :262)
     #   'dequant'— int pixels -> 2*(x/256 - .5)+U(0,1/128) (celebA, face.py:155-157)
     #   'unit_pm1'— float [0,1] -> 2*(x-.5)                (moving-mnist, ssgan:514)
+    #   'int256_pm1'— int pixels -> 2*(x/256 - .5)         (chairs, ssgan_chairs:508)
     normalization: str = "unit"
 
     @property
@@ -78,7 +79,7 @@ CIFAR10 = DataSpec("cifar10", (32, 32), 3, "int_pm1")
 SVHN = DataSpec("svhn", (32, 32), 3, "int_pm1")
 CELEBA = DataSpec("celeba", (64, 64), 3, "dequant")
 MOVING_MNIST = DataSpec("moving_mnist", (64, 64), 1, "unit_pm1")
-CHAIRS = DataSpec("chairs", (64, 64), 3, "unit_pm1")
+CHAIRS = DataSpec("chairs", (64, 64), 3, "int256_pm1")
 
 _DATASETS = {d.name: d for d in
              (MNIST, CIFAR10, SVHN, CELEBA, MOVING_MNIST, CHAIRS)}
@@ -276,8 +277,10 @@ class SSGanConfig:
 
     @property
     def data(self) -> DataSpec:
-        return DataSpec(self.dataset, self.image_hw, self.channels,
-                        "unit_pm1")
+        # moving-mnist synthesizes float [0,1]; chairs npy carries int pixels
+        # (ssgan_inference_chairs.py:508 divides by 256)
+        norm = "int256_pm1" if self.dataset == "chairs" else "unit_pm1"
+        return DataSpec(self.dataset, self.image_hw, self.channels, norm)
 
     @property
     def output_dim(self) -> int:

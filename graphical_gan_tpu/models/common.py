@@ -26,6 +26,9 @@ def normalize_input(cfg, raw: jax.Array, compute_dtype) -> jax.Array:
                                    maxval=1.0 / 128.0)
     elif norm == "unit_pm1":
         x = 2.0 * (raw.astype(jnp.float32) - 0.5)
+    elif norm == "int256_pm1":
+        # chairs: int pixels /256, no dequantization noise (ssgan_chairs:508)
+        x = 2.0 * (raw.astype(jnp.float32) / 256.0 - 0.5)
     else:
         raise ValueError(norm)
     return x.astype(compute_dtype)

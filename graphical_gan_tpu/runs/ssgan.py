@@ -78,6 +78,9 @@ def make_eval_hook(model, fixed_dev):
         fixed_y = None
     dev_x = fixed_dev["x"] if isinstance(fixed_dev, dict) else fixed_dev
     dev_y = fixed_dev.get("y") if isinstance(fixed_dev, dict) else None
+    # display copy in [0,1]: chairs batches carry int pixel values
+    dev_x_disp = (np.asarray(dev_x) / 256.0
+                  if cfg.dataset == "chairs" else np.asarray(dev_x))
     dis_g = np.tile(rng.normal(size=(1, cfg.dim_latent_g)),
                     (dev_x.shape[0], 1)).astype("float32")
     dis_y = (binarize_labels(np.ones(dev_x.shape[0]), cfg.n_classes)
@@ -99,7 +102,7 @@ def make_eval_hook(model, fixed_dev):
                 jnp.asarray(dev_y) if dev_y is not None else None),
             params, jax.random.PRNGKey(1))
         rec = (np.asarray(rec) + 1.0) / 2.0
-        inter = np.stack([dev_x, rec], axis=1).reshape(
+        inter = np.stack([dev_x_disp, rec], axis=1).reshape(
             -1, cfg.seq_len, cfg.output_dim)
         _vis(cfg, trainer.outf, inter, iteration, 2 * dev_x.shape[0],
              "reconstruction")
@@ -112,7 +115,7 @@ def make_eval_hook(model, fixed_dev):
                 jnp.asarray(dis_y) if dis_y is not None else None),
             params, jax.random.PRNGKey(2))
         dis = (np.asarray(dis) + 1.0) / 2.0
-        inter = np.stack([dev_x, dis], axis=1).reshape(
+        inter = np.stack([dev_x_disp, dis], axis=1).reshape(
             -1, cfg.seq_len, cfg.output_dim)
         _vis(cfg, trainer.outf, inter, iteration, 2 * dev_x.shape[0],
              "disentangle")

@@ -230,3 +230,20 @@ def test_disentangle_shapes():
         lambda: model.disentangle(raw, y, dis_g, y), params,
         jax.random.PRNGKey(1))
     assert out.shape == (2, 4, 4096)
+
+
+def test_chairs_normalization_divides_by_256():
+    """ssgan_inference_chairs.py:508: real_x = 2*((x/256)-.5) on int pixels;
+    moving-mnist uses 2*(x-.5) on [0,1] floats."""
+    from graphical_gan_tpu.models.common import normalize_input
+    chairs = ssgan_defaults("chairs", dim=4, dim_op=16, batch_size=2,
+                            seq_len=4)
+    x = jnp.asarray(np.full((2, 4, 3 * 64 * 64), 128.0, dtype="float32"))
+    out = normalize_input(chairs, x, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    mm = ssgan_defaults("moving_mnist", dim=4, dim_op=16, batch_size=2,
+                        seq_len=4)
+    x01 = jnp.asarray(np.full((2, 4, 4096), 0.5, dtype="float32"))
+    out = normalize_input(mm, x01, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
