@@ -52,8 +52,11 @@ def load(seq_length: int, batch_size: int, size: int = 64,
     else:
         if not synthetic_fallback:
             raise FileNotFoundError(path)
-        data = np.random.RandomState(3).rand(
-            synthetic_size, 31, size * size * 3).astype(np.float32)
+        # int-range pixel values: the chairs contract is raw [0,255] ints
+        # normalized by /256 at the model boundary (ssgan_chairs:508)
+        data = np.random.RandomState(3).randint(
+            0, 256, size=(synthetic_size, 31, size * size * 3)
+        ).astype(np.float32)
     data = data.copy()
     np.random.RandomState(0).shuffle(data)
     return (

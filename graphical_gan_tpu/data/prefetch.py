@@ -54,10 +54,14 @@ def prefetch_to_device(iterator: Iterator, size: int = 2,
             if not stop.is_set():
                 q.put(e)
         finally:
-            try:
-                q.put_nowait(_SENTINEL)
-            except queue.Full:
-                pass
+            # the sentinel must actually arrive or the consumer hangs at
+            # end-of-epoch; block (bounded) unless the consumer is gone
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()

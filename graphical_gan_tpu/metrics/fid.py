@@ -56,6 +56,10 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
                 f"ill-conditioned for a trustworthy FID — use more samples "
                 f"or lower-dimensional features")
         covmean = covmean.real
+    if not np.isfinite(covmean).all():
+        raise ValueError(
+            "covariance sqrtm is non-finite (NaN/Inf features?); refusing "
+            "to return a garbage FID")
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
                  - 2.0 * np.trace(covmean))
 

@@ -32,9 +32,9 @@ def draw_samples(model, params, n_samples: int, batch: int = 100):
     cfg = model.cfg
     h, w = cfg.data.image_hw
     c = cfg.data.channels
-    if n_samples < batch:
-        raise ValueError(f"n_samples must be >= {batch}")
-    n_batches = -(-n_samples // batch)  # ceil: score at least n_samples
+    if n_samples <= 0:
+        raise ValueError("n_samples must be positive")
+    n_batches = -(-n_samples // batch)  # ceil, then trim to exactly n_samples
     imgs = []
     for i in range(n_batches):
         noise = jax.random.normal(jax.random.PRNGKey(i),

@@ -24,6 +24,14 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+def _normalize(path: str) -> str:
+    # remote URIs (gs://, s3://, ...) must pass through untouched — orbax's
+    # epath layer handles them; only bare local paths get absolutized
+    if "://" in path:
+        return path
+    return os.path.abspath(path)
+
+
 def _extra_path(path: str) -> str:
     # sibling file, NOT inside the orbax directory: writing into a finalized
     # checkpoint dir would break orbax's atomic-commit property
@@ -36,27 +44,34 @@ def save(path: str, state: Any, extra: Optional[Dict] = None) -> str:
     Multi-host safe: every process calls save() (orbax coordinates the shard
     writes); the extra metadata is written by process 0 only, atomically.
     """
-    path = os.path.abspath(path)
+    path = _normalize(path)
     ckptr = _checkpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
     if extra and jax.process_index() == 0:
         import json
-        tmp = _extra_path(path) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(extra, f)
-        os.replace(tmp, _extra_path(path))
+        from etils import epath
+        target = epath.Path(_extra_path(path))
+        if "://" in path:
+            # object stores have atomic single-object puts
+            target.write_text(json.dumps(extra))
+        else:
+            tmp = _extra_path(path) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(extra, f)
+            os.replace(tmp, _extra_path(path))
     return path
 
 
 def restore(path: str, like: Any) -> Tuple[Any, Dict]:
     """Restore into the structure/shardings of ``like``."""
     import json
-    path = os.path.abspath(path)
+    from etils import epath
+    path = _normalize(path)
     ckptr = _checkpointer()
     state = ckptr.restore(path, like)
     extra = {}
-    if os.path.isfile(_extra_path(path)):
-        with open(_extra_path(path)) as f:
-            extra = json.load(f)
+    ep = epath.Path(_extra_path(path))
+    if ep.exists():
+        extra = json.loads(ep.read_text())
     return state, extra
