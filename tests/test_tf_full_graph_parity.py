@@ -186,3 +186,105 @@ def test_full_mnist_ali_graph_matches_tf():
                                err_msg="gen_cost")
     np.testing.assert_allclose(float(d_j), float(disc_t), atol=2e-3,
                                err_msg="disc_cost")
+
+
+def test_gmgan_mixture_machinery_matches_tf():
+    """HyperGenerator / HyperExtractor logits / HyperDiscriminator vs a TF
+    transliteration of gmgan_inference_mnist.py:142-165,249-265 (the
+    deterministic parts; CONCRETE sampling is stochastic by design)."""
+    from graphical_gan_tpu.core.config import gmgan_defaults
+    from graphical_gan_tpu.models.gmgan import GMGanModel
+
+    K = 5
+    cfg = gmgan_defaults("mnist", "local_ep", dim=DIM, dim_latent=Z,
+                         batch_size=B, n_coms=K)
+    model = GMGanModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    p_tf = {n: tf.constant(np.asarray(v)) for n, v in params.items()}
+
+    rng = np.random.RandomState(1)
+    z = rng.randn(B, Z).astype("float32")
+    k_onehot = np.eye(K, dtype="float32")[rng.randint(0, K, B)]
+    noise = rng.randn(B, Z).astype("float32")
+
+    def ours():
+        pz = model.hyper_generator(jnp.asarray(k_onehot), jnp.asarray(noise))
+        logits, _ = model.hyper_extractor(jnp.asarray(z))
+        d = model.hyper_discriminator(jnp.asarray(z), jnp.asarray(k_onehot))
+        return pz, logits, d
+
+    pz_j, logits_j, d_j = registry.apply(ours, params, jax.random.PRNGKey(2))
+
+    # TF mirror
+    mu = p_tf["Generator.Hyper.Mu"]
+    pz_t = tf.matmul(tf.constant(k_onehot), mu) + tf.constant(noise)
+    # com_logits = -.5 sum (z - mu)^2 + log(1/K)   (gmgan:150)
+    diff = tf.expand_dims(tf.constant(z), 1) - tf.expand_dims(mu, 0)
+    logits_t = -0.5 * tf.reduce_sum(tf.square(diff), axis=-1) \
+        + tf.math.log(1.0 / K)
+
+    h = tf.concat([tf.constant(z), tf.constant(k_onehot)], axis=1)
+    for name in ("HyperInput", "Hyper2", "Hyper3"):
+        h = tf.matmul(h, p_tf[f"Discriminator.{name}.W"]) \
+            + p_tf[f"Discriminator.{name}.b"]
+        h = tf.maximum(0.2 * h, h)
+    d_t = tf.reshape(tf.matmul(h, p_tf["Discriminator.HyperOutput.W"])
+                     + p_tf["Discriminator.HyperOutput.b"], [-1])
+
+    np.testing.assert_allclose(np.asarray(pz_j), pz_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logits_j), logits_t.numpy(),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(d_j), d_t.numpy(), atol=1e-3)
+
+
+def test_ssgan_frame_generator_matches_tf():
+    """SSGAN frame generator (4-deconv 64x64 stack with z_g tiling + label
+    concat at B*LEN, ssgan_inference_moving_mnist.py:170-205) vs TF."""
+    from graphical_gan_tpu.core.config import ssgan_defaults
+    from graphical_gan_tpu.models.ssgan import SSGanModel
+
+    L, DIMS = 3, 8
+    cfg = ssgan_defaults("moving_mnist", "local_ep", dim=DIMS, dim_op=16,
+                         batch_size=4, seq_len=L)
+    model = SSGanModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    p_tf = {n: tf.constant(np.asarray(v)) for n, v in params.items()}
+
+    rng = np.random.RandomState(2)
+    z_g = rng.randn(4, cfg.dim_latent_g).astype("float32")
+    z_l = rng.randn(4, L, cfg.dim_latent_l).astype("float32")
+    y = np.eye(10, dtype="float32")[rng.randint(0, 10, 4)]
+
+    out_j = registry.apply(
+        lambda: model.frame_generator(jnp.asarray(z_g), jnp.asarray(z_l),
+                                      jnp.asarray(y)),
+        params, jax.random.PRNGKey(3))
+
+    # TF mirror (BN off in the default ssgan config)
+    zg_t = tf.tile(tf.expand_dims(tf.constant(z_g), 1), [1, L, 1])
+    lab_t = tf.tile(tf.expand_dims(tf.constant(y), 1), [1, L, 1])
+    zin = tf.concat([zg_t, tf.constant(z_l), lab_t], axis=-1)
+    zin = tf.reshape(zin, [4 * L, cfg.dim_latent_g + cfg.dim_latent_l + 10])
+
+    h = tf.matmul(zin, p_tf["Generator.Input.W"]) + p_tf["Generator.Input.b"]
+    h = tf.nn.relu(h)
+    h = tf.reshape(h, [4 * L, 4, 4, 8 * DIMS])
+
+    def deconv(h, w, b, out_ch):
+        shp = tf.shape(h)
+        out = tf.nn.conv2d_transpose(
+            h, w, output_shape=[shp[0], 2 * shp[1], 2 * shp[2], out_ch],
+            strides=[1, 2, 2, 1], padding="SAME")
+        return tf.nn.bias_add(out, b)
+
+    h = tf.nn.relu(deconv(h, p_tf["Generator.2.Filters"],
+                          p_tf["Generator.2.Biases"], 4 * DIMS))
+    h = tf.nn.relu(deconv(h, p_tf["Generator.3.Filters"],
+                          p_tf["Generator.3.Biases"], 2 * DIMS))
+    h = tf.nn.relu(deconv(h, p_tf["Generator.4.Filters"],
+                          p_tf["Generator.4.Biases"], DIMS))
+    h = tf.tanh(deconv(h, p_tf["Generator.5.Filters"],
+                       p_tf["Generator.5.Biases"], 1))
+    out_t = tf.reshape(h, [4, L, 4096])
+
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=2e-4)
