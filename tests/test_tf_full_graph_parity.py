@@ -288,3 +288,42 @@ def test_ssgan_frame_generator_matches_tf():
     out_t = tf.reshape(h, [4, L, 4096])
 
     np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=2e-4)
+
+
+def test_gradient_penalty_input_grads_match_tf_tape():
+    """The wali-gp double-backward core: d D(x,z) / d x through the full
+    conv discriminator must match tf.GradientTape with shared weights
+    (SURVEY §7.3: 'must be checked numerically')."""
+    cfg = gan_inference_defaults("mnist", "wali-gp", dim=DIM, dim_latent=Z,
+                                 batch_size=B)
+    model = GanInferenceModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    p_tf = {n: tf.constant(np.asarray(v)) for n, v in params.items()}
+
+    rng = np.random.RandomState(3)
+    x_hat = rng.rand(B, 784).astype("float32")
+    z_hat = rng.randn(B, Z).astype("float32")
+
+    # ours: gradient of sum D w.r.t. x (exactly what gradient_penalty_xz
+    # differentiates before the slope penalty)
+    def d_sum(xh):
+        return jnp.sum(networks.discriminator_xz(cfg, xh, jnp.asarray(z_hat)))
+
+    gx_j = registry.apply(
+        lambda: jax.grad(d_sum)(jnp.asarray(x_hat)), params,
+        jax.random.PRNGKey(1))
+
+    # TF tape through the transliterated discriminator
+    xt = tf.Variable(x_hat)
+    with tf.GradientTape() as tape:
+        out = tf.reduce_sum(tf_discriminator(p_tf, xt, tf.constant(z_hat),
+                                             DIM))
+    gx_t = tape.gradient(out, xt)
+
+    np.testing.assert_allclose(np.asarray(gx_j), gx_t.numpy(), atol=3e-4)
+
+    # and the resulting slope penalties agree
+    slope_j = np.sqrt((np.asarray(gx_j) ** 2).sum(axis=1))
+    slope_t = np.sqrt((gx_t.numpy() ** 2).sum(axis=1))
+    np.testing.assert_allclose(10 * ((slope_j - 1) ** 2).mean(),
+                               10 * ((slope_t - 1) ** 2).mean(), rtol=1e-3)
