@@ -125,3 +125,31 @@ def test_clustering_accuracy_propagation():
     # cluster 0's max-prob example is idx0 (label 0); cluster 1's is idx2
     # (label 1). predictions: [0, 0, 1] -> accuracy 2/3
     np.testing.assert_allclose(clustering_accuracy(prob, y), 2 / 3)
+
+
+def test_scatter_with_mus_overlay(tmp_path):
+    from graphical_gan_tpu.report.visualization import scatter
+    rng = np.random.RandomState(0)
+    data = rng.randn(50, 2)
+    label = rng.randint(0, 3, 50)
+    mus = rng.randn(3, 2)
+    p = scatter(data, label, str(tmp_path), "s.png", mus=mus)
+    assert os.path.getsize(p) > 0
+    assert os.path.getsize(os.path.join(str(tmp_path), "mus_s.png")) > 0
+    # 2-D one-hot labels are argmaxed (visualization.py:12-13 parity)
+    onehot = np.eye(3)[label]
+    scatter(data, onehot, str(tmp_path), "s2.png")
+
+
+def test_keystream_determinism_and_restore():
+    import jax
+    from graphical_gan_tpu.core.rng import KeyStream
+    a = KeyStream(7)
+    k1, k2 = a.next(), a.next()
+    b = KeyStream(7)
+    np.testing.assert_array_equal(np.asarray(b.next()), np.asarray(k1))
+    # restore resumes mid-stream
+    c = KeyStream(7)
+    c.restore(a.state() - 1)
+    np.testing.assert_array_equal(np.asarray(c.next()), np.asarray(k2))
+    assert not np.array_equal(np.asarray(k1), np.asarray(KeyStream(8).next()))
