@@ -52,6 +52,22 @@ def generator_factory(batch_size: int, *arrays, seed: Optional[int] = None):
     return get_epoch
 
 
+def materialize_epoch(factory):
+    """Collect one full epoch from a generator factory into a single array
+    (first element of tuple batches — the images; dict batches concatenate
+    per key).  Used to build the on-device resident dataset for the hot loop
+    (see ``data.ondevice`` / ``train.trainer``): small datasets
+    (mnist/cifar10/svhn) fit in HBM whole, so the host feeds the device
+    exactly once per run."""
+    xs = []
+    for batch in factory():
+        xs.append(batch[0] if isinstance(batch, tuple) else batch)
+    if isinstance(xs[0], dict):
+        return {k: np.concatenate([b[k] for b in xs], axis=0)
+                for k in xs[0]}
+    return np.concatenate(xs, axis=0)
+
+
 def maybe_download(url: str, path: str) -> bool:
     """Best-effort download; returns False on any failure (zero-egress envs)."""
     if os.path.isfile(path):

@@ -38,6 +38,21 @@ def sample_batches(data: jax.Array, key: jax.Array, n_batches: int,
     return batch.reshape((n_batches, batch_size) + data.shape[1:])
 
 
+def sample_batches_tree(data, key: jax.Array, n_batches: int,
+                        batch_size: int):
+    """``sample_batches`` over a pytree of aligned arrays (e.g. ssgan's
+    {'x','y'}): ONE index draw shared by every leaf, so image/label pairing
+    is preserved."""
+    n = jax.tree.leaves(data)[0].shape[0]
+    idx = jax.random.randint(key, (n_batches * batch_size,), 0, n)
+
+    def take(x):
+        return jnp.take(x, idx, axis=0).reshape(
+            (n_batches, batch_size) + x.shape[1:])
+
+    return jax.tree.map(take, data)
+
+
 def make_sampler(data: jax.Array, n_batches: int, batch_size: int):
     """Jitted sampler closure over the resident dataset."""
 

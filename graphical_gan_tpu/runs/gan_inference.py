@@ -145,8 +145,8 @@ def make_inception_hook(model, n_samples: int = 50000,
         if classifier is None:
             try:
                 from graphical_gan_tpu.metrics.inception import (
-                    TorchInceptionClassifier)
-                classifier = TorchInceptionClassifier()
+                    default_is_classifier)
+                classifier = default_is_classifier()
             except Exception as e:  # zero-egress env without local weights
                 trainer.logger.plot("inception score skipped", 0.0)
                 print(f"inception score skipped (no classifier): {e}")
@@ -174,10 +174,23 @@ def run(dataset: str = "mnist", mode: str = "ali",
         iters: Optional[int] = None, data_dir: Optional[str] = None,
         outdir: str = "result", seed: int = 0,
         checkpoint_every: int = 5000, checkpoints_to_keep: int = 3, sample_every: Optional[int] = None,
-        tsne_every: int = 50000, inception_every: int = 10000, **overrides):
+        tsne_every: int = 50000, inception_every: int = 10000,
+        data_pipeline: Optional[str] = None, chunk_size: Optional[int] = None,
+        **overrides):
     cfg = gan_inference_defaults(dataset, mode, **overrides)
     model = GanInferenceModel(cfg)
     train_gen, dev_gen = _loaders(cfg, data_dir)
+
+    # Input pipeline: mnist/cifar10/svhn fit whole in HBM, so the default is
+    # the on-device resident dataset (one upload, batches drawn by device
+    # gather inside the fused multi-iteration step — see train.trainer);
+    # celeba (~10 GB as int32) stays on the host feed path.
+    if data_pipeline is None:
+        data_pipeline = "host" if dataset == "celeba" else "resident"
+    resident = None
+    if data_pipeline == "resident":
+        from graphical_gan_tpu.data.common import materialize_epoch
+        resident = materialize_epoch(train_gen)
 
     outf = make_run_dir(outdir, f"gan_inference_{dataset}", {"MODE": mode})
     if dataset == "cifar10":
@@ -208,10 +221,11 @@ def run(dataset: str = "mnist", mode: str = "ali",
     trainer = Trainer(
         model, train_gen, dev_gen, outf=outf, seed=seed,
         checkpoint_every=checkpoint_every,
-                      checkpoints_to_keep=checkpoints_to_keep,
+        checkpoints_to_keep=checkpoints_to_keep,
         eval_hooks=hooks,
         lr_scale=(lambda t: jnp.maximum(0.0, 1.0 - t / cfg.iters))
         if cfg.decay else None,
+        resident_data=resident, chunk_size=chunk_size,
     )
     metrics = trainer.train(iters)
     return trainer, metrics
@@ -231,6 +245,14 @@ def main(argv=None):
     p.add_argument("--checkpoint-every", type=int, default=5000)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--dim", type=int, default=None)
+    p.add_argument("--data-pipeline", default=None,
+                   choices=["resident", "host"],
+                   help="resident: whole dataset in HBM, multi-iteration "
+                        "fused steps (default for mnist/cifar10/svhn); "
+                        "host: per-iteration host batches (celeba default)")
+    p.add_argument("--chunk-size", type=int, default=None,
+                   help="iterations fused per device dispatch in resident "
+                        "mode (default 20; 1 under remote-compile relays)")
     args = p.parse_args(argv)
     overrides = {}
     if args.batch_size:
@@ -241,7 +263,9 @@ def main(argv=None):
         overrides["compute_dtype"] = args.compute_dtype
     run(args.dataset, args.mode, iters=args.iters, data_dir=args.data_dir,
         outdir=args.outdir, seed=args.seed,
-        checkpoint_every=args.checkpoint_every, **overrides)
+        checkpoint_every=args.checkpoint_every,
+        data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
+        **overrides)
 
 
 if __name__ == "__main__":

@@ -177,8 +177,8 @@ def make_gmgan_inception_hook(model, n_samples: int = 50000,
         if classifier is None:
             try:
                 from graphical_gan_tpu.metrics.inception import (
-                    TorchInceptionClassifier)
-                classifier = TorchInceptionClassifier()
+                    default_is_classifier)
+                classifier = default_is_classifier()
             except Exception as e:
                 print(f"inception score skipped (no classifier): {e}")
                 return
@@ -207,10 +207,20 @@ def make_gmgan_inception_hook(model, n_samples: int = 50000,
 def run(dataset: str = "mnist", mode: str = "local_ep",
         iters: Optional[int] = None, data_dir: Optional[str] = None,
         outdir: str = "result", seed: int = 0, checkpoint_every: int = 5000, checkpoints_to_keep: int = 3,
-        eval_every: int = 5000, **overrides):
+        eval_every: int = 5000, data_pipeline: Optional[str] = None,
+        chunk_size: Optional[int] = None, **overrides):
     cfg = gmgan_defaults(dataset, mode, **overrides)
     model = GMGanModel(cfg)
     train_gen, dev_gen, test_gen = _loaders(cfg, data_dir)
+
+    # on-device resident dataset by default for the HBM-sized datasets
+    # (see runs.gan_inference / train.trainer)
+    if data_pipeline is None:
+        data_pipeline = "host" if dataset == "celeba" else "resident"
+    resident = None
+    if data_pipeline == "resident":
+        from graphical_gan_tpu.data.common import materialize_epoch
+        resident = materialize_epoch(train_gen)
 
     outf = make_run_dir(outdir, f"gmgan_inference_{dataset}",
                         {"MODE": mode, "N_COMS": cfg.n_coms})
@@ -233,7 +243,8 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
     trainer = Trainer(model, train_gen, dev_gen, outf=outf, seed=seed,
                       checkpoint_every=checkpoint_every,
                       checkpoints_to_keep=checkpoints_to_keep,
-                      eval_hooks={eval_every: combined})
+                      eval_hooks={eval_every: combined},
+                      resident_data=resident, chunk_size=chunk_size)
     metrics = trainer.train(iters)
     # final-iteration 4-way TSNE scatters (gmgan_inference_mnist.py:534-551)
     if dataset != "celeba":
@@ -261,6 +272,9 @@ def main(argv=None):
     p.add_argument("--compute-dtype", default=None,
                    choices=["float32", "bfloat16"])
     p.add_argument("--checkpoint-every", type=int, default=5000)
+    p.add_argument("--data-pipeline", default=None,
+                   choices=["resident", "host"])
+    p.add_argument("--chunk-size", type=int, default=None)
     args = p.parse_args(argv)
     overrides = {"mode_k": args.mode_k}
     if args.n_coms:
@@ -269,7 +283,9 @@ def main(argv=None):
         overrides["compute_dtype"] = args.compute_dtype
     run(args.dataset, args.mode, iters=args.iters, data_dir=args.data_dir,
         outdir=args.outdir, seed=args.seed,
-        checkpoint_every=args.checkpoint_every, **overrides)
+        checkpoint_every=args.checkpoint_every,
+        data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
+        **overrides)
 
 
 if __name__ == "__main__":

@@ -142,7 +142,9 @@ def log_player_param_counts(trainer, model):
 def run(dataset: str = "moving_mnist", mode: str = "local_ep",
         iters: Optional[int] = None, data_dir: Optional[str] = None,
         outdir: str = "result", seed: int = 0,
-        checkpoint_every: int = 5000, checkpoints_to_keep: int = 3, eval_every: int = 5000, **overrides):
+        checkpoint_every: int = 5000, checkpoints_to_keep: int = 3, eval_every: int = 5000,
+        data_pipeline: str = "host", chunk_size: Optional[int] = None,
+        **overrides):
     cfg = ssgan_defaults(dataset, mode, **overrides)
     model = SSGanModel(cfg)
     train_gen, dev_gen = _loaders(cfg, data_dir)
@@ -152,11 +154,21 @@ def run(dataset: str = "moving_mnist", mode: str = "local_ep",
                          "LEN": cfg.seq_len})
     fixed_dev = next(iter(dev_gen()))
 
+    # opt-in only for ssgan: moving-mnist synthesizes a FRESH epoch on the
+    # host each pass (tflib/simple_moving_mnist.py:54-96); resident mode
+    # freezes one materialized epoch in HBM, trading data freshness for the
+    # zero-host-feed hot loop (fine for chairs whose dataset is static).
+    resident = None
+    if data_pipeline == "resident":
+        from graphical_gan_tpu.data.common import materialize_epoch
+        resident = materialize_epoch(train_gen)
+
     trainer = Trainer(model, train_gen, dev_gen, outf=outf, seed=seed,
                       checkpoint_every=checkpoint_every,
                       checkpoints_to_keep=checkpoints_to_keep,
                       eval_hooks={eval_every: make_eval_hook(model,
-                                                             fixed_dev)})
+                                                             fixed_dev)},
+                      resident_data=resident, chunk_size=chunk_size)
     # param counts need an initialized state
     if trainer.state is None and not trainer.try_resume():
         trainer.state = trainer.init_state(
@@ -182,6 +194,9 @@ def main(argv=None):
     p.add_argument("--compute-dtype", default=None,
                    choices=["float32", "bfloat16"])
     p.add_argument("--checkpoint-every", type=int, default=5000)
+    p.add_argument("--data-pipeline", default="host",
+                   choices=["resident", "host"])
+    p.add_argument("--chunk-size", type=int, default=None)
     args = p.parse_args(argv)
     overrides = {"pos_mode": args.pos_mode, "ali_mode": args.ali_mode}
     if args.seq_len:
@@ -190,7 +205,9 @@ def main(argv=None):
         overrides["compute_dtype"] = args.compute_dtype
     run(args.dataset, args.mode, iters=args.iters, data_dir=args.data_dir,
         outdir=args.outdir, seed=args.seed,
-        checkpoint_every=args.checkpoint_every, **overrides)
+        checkpoint_every=args.checkpoint_every,
+        data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
+        **overrides)
 
 
 if __name__ == "__main__":

@@ -18,7 +18,13 @@ and improves on the reference where it was operationally broken:
 - periodic checkpointing with full-state resume (the reference saved ONCE at
   the final iteration and had no restore path, SURVEY §5),
 - the whole G+kD iteration is one donated jitted step with on-device batch
-  slices (see ``train.step``) instead of (1+k) feed_dict round trips.
+  slices (see ``train.step``) instead of (1+k) feed_dict round trips,
+- an on-device **resident-dataset mode** (``resident_data=...``): the whole
+  training set is uploaded to HBM once, each iteration's (1+k) batches are
+  drawn by on-device random gather, multiple iterations are fused into one
+  ``lax.scan`` dispatch, and metrics are fetched in bulk only at
+  logging/eval boundaries — zero host work in the hot loop.  This is the
+  production counterpart of ``bench.py``'s measurement loop.
 """
 
 from __future__ import annotations
@@ -63,7 +69,8 @@ class Trainer:
                  checkpoint_every: int = 5000,
                  checkpoints_to_keep: int = 3,
                  eval_hooks: Optional[Dict[int, Callable]] = None,
-                 lr_scale=None):
+                 lr_scale=None,
+                 resident_data=None, chunk_size: Optional[int] = None):
         self.model = model
         self.cfg = model.cfg
         self.train_gen_factory = train_gen_factory
@@ -75,8 +82,19 @@ class Trainer:
 
         self.k = self.cfg.critic_iters if critic_iters is None \
             else critic_iters
-        self.step_fn, self.init_state = make_train_step(
-            model, critic_iters=self.k, lr_scale=lr_scale)
+        self._raw_step, self.init_state = make_train_step(
+            model, critic_iters=self.k, lr_scale=lr_scale, jit=False)
+        self.step_fn = jax.jit(self._raw_step, donate_argnums=(0,))
+        # resident mode: host array/pytree of the FULL train set; uploaded
+        # once in train().  chunk_size = iterations fused per device
+        # dispatch; remote-compile relays cap program size, so fall back to
+        # one-iteration dispatches there (async dispatch still overlaps).
+        self.resident_data = resident_data
+        if chunk_size is None:
+            chunk_size = 1 if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") \
+                else 20
+        self.chunk_size = max(1, chunk_size)
+        self._chunk_fns: Dict[int, Callable] = {}
         self.keys = KeyStream(seed)
         self.logger = MetricLogger()
         self.checkpoint_every = checkpoint_every
@@ -153,6 +171,10 @@ class Trainer:
         profile_start = int(os.environ.get("GGAN_PROFILE_START", "10"))
         profile_steps = int(os.environ.get("GGAN_PROFILE_STEPS", "10"))
 
+        if self.resident_data is not None:
+            return self._train_resident(iters, profile_dir, profile_start,
+                                        profile_steps)
+
         gen = self._inf_batches()
         last: Dict[str, float] = {}
         trace_active = False
@@ -189,6 +211,111 @@ class Trainer:
                 if iteration % every == every - 1:
                     hook(self, iteration)
 
+            if (iteration % self.checkpoint_every
+                    == self.checkpoint_every - 1) or iteration == iters - 1:
+                self.save(iteration)
+        if trace_active:
+            jax.profiler.stop_trace()
+        return last
+
+    # -- resident-data hot loop ----------------------------------------------
+
+    def _chunk_fn(self, n: int) -> Callable:
+        """Compiled program running ``n`` full train iterations: per
+        iteration, draw (1+k) fresh batches from the resident dataset by
+        on-device gather, then the fused G+kD step — all inside one
+        ``lax.scan``.  The dataset is an ARGUMENT (never a closure constant)
+        so it is not embedded in the HLO.  Cached per distinct ``n`` (only a
+        handful of sizes occur: the chunk size, cadence remainders)."""
+        if n in self._chunk_fns:
+            return self._chunk_fns[n]
+        from graphical_gan_tpu.data.ondevice import sample_batches_tree
+        raw_step, k, bs = self._raw_step, self.k, self.cfg.batch_size
+
+        def chunk(state, data, base_key):
+            def body(st, kk):
+                raw = sample_batches_tree(data, jax.random.fold_in(kk, 7),
+                                          1 + k, bs)
+                # skip the G update only at global iteration 0
+                # (gan_inference_cifar10.py:433) — state.step is authoritative
+                return raw_step(st, raw, kk, st.step > 0)
+
+            keys = jax.random.split(base_key, n)
+            return jax.lax.scan(body, state, keys)
+
+        fn = jax.jit(chunk, donate_argnums=(0,))
+        self._chunk_fns[n] = fn
+        return fn
+
+    def _next_event(self, done: int, iters: int) -> int:
+        """First iteration boundary > ``done`` where any host-side action
+        fires.  Boundary b means "after b iterations completed"; host-loop
+        conditions of the form ``iteration % every == every - 1`` fire at
+        multiples of ``every``."""
+        cadences = [100, self.checkpoint_every, *self.eval_hooks.keys()]
+        nxt = min((done // c + 1) * c for c in cadences if c > 0)
+        for early in range(done + 1, 6):  # iteration<5 flush parity
+            nxt = min(nxt, early)
+            break
+        return min(nxt, iters)
+
+    def _train_resident(self, iters, profile_dir, profile_start,
+                        profile_steps) -> Dict[str, float]:
+        data = jax.tree.map(jnp.asarray, self.resident_data)
+        last: Dict[str, float] = {}
+        it = self._start_iter
+        trace_active = False
+        while it < iters:
+            target = self._next_event(it, iters)
+            pending = []  # [(n, device-metrics dict of [n]-arrays)]
+            t0 = time.time()
+            while it < target:
+                n = min(self.chunk_size, target - it)
+                if profile_dir and not trace_active \
+                        and it + n > profile_start >= it:
+                    jax.profiler.start_trace(profile_dir)
+                    trace_active = True
+                self.state, ms = self._chunk_fn(n)(
+                    self.state, data, self.keys.next())
+                pending.append((n, ms))
+                it += n
+                if trace_active and it >= profile_start + profile_steps:
+                    jax.tree.map(lambda a: a.block_until_ready(),
+                                 self.state.params)
+                    jax.profiler.stop_trace()
+                    trace_active = False
+
+            # ONE host sync per event window: bulk-fetch the stacked
+            # per-iteration metrics (VERDICT r1: no float() per step).
+            host = [(n, {kk: np.asarray(v) for kk, v in ms.items()})
+                    for n, ms in pending]
+            window = sum(n for n, _ in host)
+            dt = (time.time() - t0) / window
+            g_it = target - window
+            for n, ms in host:
+                for j in range(n):
+                    if "disc_cost" in ms:
+                        self.logger.plot("train disc cost",
+                                         float(ms["disc_cost"][j]))
+                    elif g_it > 0:
+                        self.logger.plot("train gen cost",
+                                         float(ms["gen_cost"][j]))
+                    self.logger.plot("time", dt)
+                    g_it += 1
+                    if g_it == target:
+                        break  # boundary actions below, then tick
+                    self.logger.tick()
+                last = {kk: float(v[-1]) for kk, v in ms.items()}
+
+            iteration = target - 1  # host-loop naming: last completed iter
+            if iteration % 100 == 99 and self.dev_gen_factory is not None:
+                self._dev_sweep()
+            if iteration < 5 or iteration % 100 == 99:
+                self.logger.flush(self.outf, self.logfile, render=False)
+            self.logger.tick()
+            for every, hook in self.eval_hooks.items():
+                if iteration % every == every - 1:
+                    hook(self, iteration)
             if (iteration % self.checkpoint_every
                     == self.checkpoint_every - 1) or iteration == iters - 1:
                 self.save(iteration)

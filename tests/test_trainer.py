@@ -52,6 +52,43 @@ def test_trainer_resume_continues(tmp_path):
     assert int(tr2.state.step) == step4 + 2
 
 
+def test_trainer_resident_mode(tmp_path):
+    """Resident-data hot loop: same cadences/artifacts as the host path,
+    chunked multi-iteration dispatches, step count exact."""
+    calls = []
+    rng = np.random.RandomState(0)
+    tr = make_trainer(tmp_path, checkpoint_every=3,
+                      eval_hooks={2: lambda t, i: calls.append(i)},
+                      resident_data=rng.rand(64, 784).astype("float32"),
+                      chunk_size=4)
+    metrics = tr.train(iters=7, resume=False)
+    assert np.isfinite(metrics["gen_cost"])
+    assert np.isfinite(metrics["disc_cost"])
+    assert int(tr.state.step) == 7
+    assert calls == [1, 3, 5]
+    assert os.path.isfile(os.path.join(str(tmp_path), "ckpt_2.npz"))
+    assert os.path.isfile(os.path.join(str(tmp_path), "ckpt_5.npz"))
+    assert os.path.isfile(os.path.join(str(tmp_path), "ckpt_6.npz"))
+    # one tick per iteration; flushed history matches host-path behavior
+    # (early flushes cover iters 0-4, the remainder stays buffered)
+    assert tr.logger.iteration == 7
+    assert len(tr.logger.history("train disc cost")) == 5
+    assert set(tr.logger._since_last_flush["train disc cost"]) == {5, 6}
+
+
+def test_trainer_resident_resume(tmp_path):
+    data = np.random.RandomState(0).rand(64, 784).astype("float32")
+    tr = make_trainer(tmp_path, checkpoint_every=2,
+                      resident_data=data, chunk_size=3)
+    tr.train(iters=4, resume=False)
+    step4 = int(tr.state.step)
+    tr2 = make_trainer(tmp_path, checkpoint_every=2,
+                       resident_data=data, chunk_size=3)
+    tr2.train(iters=6)
+    assert tr2._start_iter == 4
+    assert int(tr2.state.step) == step4 + 2
+
+
 def test_dev_sweep_plots(tmp_path):
     tr = make_trainer(tmp_path)
     tr.train(iters=100, resume=False)
