@@ -56,6 +56,24 @@ def get_inception_score(images: Sequence[np.ndarray],
     return inception_score_from_probs(np.concatenate(preds, axis=0), splits)
 
 
+def default_is_classifier():
+    """Classifier-resolution order for IS hooks: the reference's exact
+    frozen Inception-2015 GraphDef head when the ``.pb`` exists locally
+    (``GGAN_INCEPTION_PB`` or the reference's default MODEL_DIR path,
+    ``tflib/inception_score.py:19-20``) — the IS-within-0.1 instrument —
+    else torchvision's InceptionV3.  Raises when neither is available
+    (zero-egress machine with no local weights)."""
+    import os
+    pb = os.environ.get(
+        "GGAN_INCEPTION_PB",
+        "inception_score_model/classify_image_graph_def.pb")
+    if os.path.isfile(pb):
+        from graphical_gan_tpu.metrics.inception_frozen import (
+            FrozenInceptionClassifier)
+        return FrozenInceptionClassifier(pb)
+    return TorchInceptionClassifier()
+
+
 class TorchInceptionClassifier:
     """Host-side InceptionV3 softmax classifier (needs local torchvision
     weights; raises at construction when unavailable)."""

@@ -54,6 +54,11 @@ def draw_samples(model, params, n_samples: int, batch: int = 100):
 def make_classifier(kind: str, classifier_ckpt: Optional[str],
                     image_hw, channels: int, clf_dim: int = 64,
                     n_classes: int = 10):
+    if kind == "frozen":
+        from graphical_gan_tpu.metrics.inception_frozen import (
+            FrozenInceptionClassifier)
+        return (FrozenInceptionClassifier(classifier_ckpt),
+                f"frozen-inception-2015:{classifier_ckpt}")
     if kind == "torch":
         from graphical_gan_tpu.metrics.inception import (
             TorchInceptionClassifier)
@@ -82,13 +87,17 @@ def main(argv=None):
     p.add_argument("--mode", default="ali")
     p.add_argument("--n-samples", type=int, default=50000)
     p.add_argument("--splits", type=int, default=10)
-    p.add_argument("--classifier", choices=["torch", "jax"], default="torch")
+    p.add_argument("--classifier", choices=["torch", "jax", "frozen"],
+                   default="torch",
+                   help="frozen = the reference's exact Inception-2015 "
+                        "GraphDef head (pass the local .pb via "
+                        "--classifier-ckpt) — the IS-within-0.1 instrument")
     p.add_argument("--classifier-ckpt", default=None)
     p.add_argument("--classifier-dim", type=int, default=64)
     p.add_argument("--dim", type=int, default=None)
     args = p.parse_args(argv)
-    if args.classifier == "jax" and not args.classifier_ckpt:
-        p.error("--classifier jax requires --classifier-ckpt")
+    if args.classifier in ("jax", "frozen") and not args.classifier_ckpt:
+        p.error(f"--classifier {args.classifier} requires --classifier-ckpt")
 
     overrides = {"dim": args.dim} if args.dim else {}
     cfg = gan_inference_defaults(args.dataset, args.mode, **overrides)
