@@ -179,6 +179,22 @@ def apply(fn: Callable, params: Params, key: Optional[jax.Array], *args,
         _stack().pop()
 
 
+def jit_apply(fn: Callable) -> Callable:
+    """Jitted forward closure: ``jit_apply(f)(params, key, *args)`` ==
+    ``apply(lambda: f(*args), params, key)`` compiled once per shape.
+
+    Eval paths (dev sweeps, sample/reconstruction/encode hooks) call model
+    forwards repeatedly at fixed shapes; eager ``apply`` dispatches op by op,
+    which is wasteful on an accelerator.  Build the closure ONCE and reuse it
+    so each call is a single compiled program (no retraces at a fixed shape).
+    """
+    @jax.jit
+    def wrapped(params: Params, key: Optional[jax.Array], *args):
+        return apply(lambda: fn(*args), params, key)
+
+    return wrapped
+
+
 # ---------------------------------------------------------------------------
 # Player partition — reference semantics: substring match over names
 # (tflib/__init__.py:35-36; scripts always use it with a prefix word).

@@ -70,12 +70,15 @@ def make_eval_hooks(model, fixed_dev_batch):
     n_vis = cfg.n_vis
     fixed_noise = np.random.RandomState(0).normal(
         size=(n_vis, cfg.dim_latent)).astype("float32")
+    # compiled eval closures, built once per run (no per-hook retraces)
+    sample_j = registry.jit_apply(model.sample)
+    rec_j = registry.jit_apply(model.reconstruct)
+    norm_j = registry.jit_apply(model.normalize)
 
     def hook(trainer, iteration):
         params = trainer.state.params
-        samples = registry.apply(
-            lambda: model.sample(jnp.asarray(fixed_noise)), params,
-            jax.random.PRNGKey(0))
+        samples = sample_j(params, jax.random.PRNGKey(0),
+                           jnp.asarray(fixed_noise))
         img = _to_grid_scale(cfg, np.asarray(samples))
         save_images(
             img.reshape(_grid_shape(cfg, n_vis)),
@@ -83,16 +86,14 @@ def make_eval_hooks(model, fixed_dev_batch):
                          f"{cfg.mode}_{cfg.dataset}_samples_{iteration}.png"))
 
         if fixed_dev_batch is not None:
-            rec = registry.apply(
-                lambda: model.reconstruct(jnp.asarray(fixed_dev_batch)),
-                params, jax.random.PRNGKey(1))
+            rec = rec_j(params, jax.random.PRNGKey(1),
+                        jnp.asarray(fixed_dev_batch))
             rec = _to_grid_scale(cfg, np.asarray(rec))
             # normalize may draw RNG (celeba dequantization) — needs a
             # registry context
             data_img = _to_grid_scale(
-                cfg, np.asarray(registry.apply(
-                    lambda: model.normalize(jnp.asarray(fixed_dev_batch)),
-                    params, jax.random.PRNGKey(2))))
+                cfg, np.asarray(norm_j(params, jax.random.PRNGKey(2),
+                                       jnp.asarray(fixed_dev_batch))))
             # interleave original/reconstruction rows (mnist:388-392)
             inter = np.stack([data_img, rec], axis=1).reshape(
                 -1, data_img.shape[-1])
@@ -110,6 +111,8 @@ def make_tsne_hook(model, dev_gen):
     """Latent manifold scatter at the 50k cadence
     (``gan_inference_mnist.py:473-480``): TSNE of dev-set codes, colored by
     class label."""
+    encode_j = registry.jit_apply(model.encode)
+
     def hook(trainer, iteration):
         from graphical_gan_tpu.report.visualization import scatter, tsne_2d
         cfg = model.cfg
@@ -118,9 +121,8 @@ def make_tsne_hook(model, dev_gen):
             if not isinstance(batch, tuple):
                 return  # unlabeled dataset (celeba) — no class coloring
             xb, yb = batch
-            z = registry.apply(
-                lambda: model.encode(jnp.asarray(xb)), trainer.state.params,
-                jax.random.PRNGKey(0))
+            z = encode_j(trainer.state.params, jax.random.PRNGKey(0),
+                         jnp.asarray(xb))
             zs.append(np.asarray(z))
             ys.append(yb)
         z2 = tsne_2d(np.vstack(zs))
@@ -154,12 +156,13 @@ def make_inception_hook(model, n_samples: int = 50000,
         from graphical_gan_tpu.metrics.inception import get_inception_score
         h, w = cfg.data.image_hw
         c = cfg.data.channels
+        sample_j = registry.jit_apply(model.sample)
         imgs = []
         for i in range(n_samples // sample_batch):
             noise = jax.random.normal(jax.random.PRNGKey(i),
                                       (sample_batch, cfg.dim_latent))
-            flat = registry.apply(lambda: model.sample(noise),
-                                  trainer.state.params, jax.random.PRNGKey(i))
+            flat = sample_j(trainer.state.params, jax.random.PRNGKey(i),
+                            noise)
             x = ((np.asarray(flat) + 1.0) * (255.0 / 2)).astype("int32")
             x = x.reshape(sample_batch, c, h, w).transpose(0, 2, 3, 1)
             imgs.extend(list(x))

@@ -68,12 +68,12 @@ def make_sample_hook(model):
     fixed_k = np.tile(np.eye(cfg.n_coms, dtype=np.float32),
                       (n_vis // cfg.n_coms, 1))
 
+    sample_j = registry.jit_apply(model.sample)
+
     def hook(trainer, iteration):
         params = trainer.state.params
-        samples = registry.apply(
-            lambda: model.sample(jnp.asarray(fixed_k),
-                                 jnp.asarray(fixed_noise)),
-            params, jax.random.PRNGKey(0))
+        samples = sample_j(params, jax.random.PRNGKey(0),
+                           jnp.asarray(fixed_k), jnp.asarray(fixed_noise))
         img = _to_grid_scale(cfg, np.asarray(samples))
         save_images(img.reshape(_grid_shape(cfg, n_vis)),
                     os.path.join(trainer.outf,
@@ -85,17 +85,17 @@ def make_sample_hook(model):
 
 def make_recon_hook(model, fixed_dev_batch):
     cfg = model.cfg
+    rec_j = registry.jit_apply(model.reconstruct)
+    norm_j = registry.jit_apply(model.normalize)
 
     def hook(trainer, iteration):
         params = trainer.state.params
-        rec = registry.apply(
-            lambda: model.reconstruct(jnp.asarray(fixed_dev_batch)), params,
-            jax.random.PRNGKey(1))
+        rec = rec_j(params, jax.random.PRNGKey(1),
+                    jnp.asarray(fixed_dev_batch))
         rec = _to_grid_scale(cfg, np.asarray(rec))
         dat = _to_grid_scale(
-            cfg, np.asarray(registry.apply(
-                lambda: model.normalize(jnp.asarray(fixed_dev_batch)),
-                params, jax.random.PRNGKey(2))))
+            cfg, np.asarray(norm_j(params, jax.random.PRNGKey(2),
+                                   jnp.asarray(fixed_dev_batch))))
         inter = np.stack([dat, rec], axis=1).reshape(-1, dat.shape[-1])
         save_images(inter.reshape(_grid_shape(cfg, 2 * len(fixed_dev_batch))),
                     os.path.join(trainer.outf,
@@ -108,12 +108,13 @@ def make_accuracy_hook(model, test_gen_factory):
     """Clustering accuracy over the full test sweep (``:513-531``)."""
     cfg = model.cfg
 
+    probs_j = registry.jit_apply(model.cluster_probs)
+
     def hook(trainer, iteration):
         probs, ys = [], []
         for xb, yb in test_gen_factory():
-            p = registry.apply(
-                lambda: model.cluster_probs(jnp.asarray(xb)),
-                trainer.state.params, jax.random.PRNGKey(0))
+            p = probs_j(trainer.state.params, jax.random.PRNGKey(0),
+                        jnp.asarray(xb))
             probs.append(np.asarray(p))
             ys.append(yb)
         acc = clustering_accuracy(np.vstack(probs), np.hstack(ys))
@@ -186,14 +187,14 @@ def make_gmgan_inception_hook(model, n_samples: int = 50000,
         h, w = cfg.data.image_hw
         c = cfg.data.channels
         imgs = []
+        sample_j = registry.jit_apply(model.sample)
         for i in range(n_samples // sample_batch):
             key = jax.random.PRNGKey(i)
             noise = jax.random.normal(key, (sample_batch, cfg.dim_latent))
             idx = jax.random.randint(jax.random.fold_in(key, 1),
                                      (sample_batch,), 0, cfg.n_coms)
             k1 = jax.nn.one_hot(idx, cfg.n_coms)
-            flat = registry.apply(lambda: model.sample(k1, noise),
-                                  trainer.state.params, key)
+            flat = sample_j(trainer.state.params, key, k1, noise)
             x = ((np.asarray(flat) + 1.0) * (255.0 / 2)).astype("int32")
             imgs.extend(list(
                 x.reshape(sample_batch, c, h, w).transpose(0, 2, 3, 1)))

@@ -86,34 +86,32 @@ def make_eval_hook(model, fixed_dev):
     dis_y = (binarize_labels(np.ones(dev_x.shape[0]), cfg.n_classes)
              if cfg.conditional else None)
 
+    # compiled eval closures (None args are empty pytrees — jit-safe)
+    sample_j = registry.jit_apply(model.sample)
+    rec_j = registry.jit_apply(model.reconstruct)
+    dis_j = registry.jit_apply(model.disentangle)
+
     def hook(trainer, iteration):
         params = trainer.state.params
-        samples = registry.apply(
-            lambda: model.sample(
-                jnp.asarray(pre_fixed), jnp.asarray(fixed_g),
-                jnp.asarray(fixed_y) if fixed_y is not None else None),
-            params, jax.random.PRNGKey(0))
+        samples = sample_j(
+            params, jax.random.PRNGKey(0), jnp.asarray(pre_fixed),
+            jnp.asarray(fixed_g),
+            jnp.asarray(fixed_y) if fixed_y is not None else None)
         s = (np.asarray(samples) + 1.0) / 2.0
         _vis(cfg, trainer.outf, s, iteration, n_vis, "samples")
 
-        rec = registry.apply(
-            lambda: model.reconstruct(
-                jnp.asarray(dev_x),
-                jnp.asarray(dev_y) if dev_y is not None else None),
-            params, jax.random.PRNGKey(1))
+        rec = rec_j(params, jax.random.PRNGKey(1), jnp.asarray(dev_x),
+                    jnp.asarray(dev_y) if dev_y is not None else None)
         rec = (np.asarray(rec) + 1.0) / 2.0
         inter = np.stack([dev_x_disp, rec], axis=1).reshape(
             -1, cfg.seq_len, cfg.output_dim)
         _vis(cfg, trainer.outf, inter, iteration, 2 * dev_x.shape[0],
              "reconstruction")
 
-        dis = registry.apply(
-            lambda: model.disentangle(
-                jnp.asarray(dev_x),
-                jnp.asarray(dev_y) if dev_y is not None else None,
-                jnp.asarray(dis_g),
-                jnp.asarray(dis_y) if dis_y is not None else None),
-            params, jax.random.PRNGKey(2))
+        dis = dis_j(params, jax.random.PRNGKey(2), jnp.asarray(dev_x),
+                    jnp.asarray(dev_y) if dev_y is not None else None,
+                    jnp.asarray(dis_g),
+                    jnp.asarray(dis_y) if dis_y is not None else None)
         dis = (np.asarray(dis) + 1.0) / 2.0
         inter = np.stack([dev_x_disp, dis], axis=1).reshape(
             -1, cfg.seq_len, cfg.output_dim)

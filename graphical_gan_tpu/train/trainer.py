@@ -102,6 +102,7 @@ class Trainer:
         self.eval_hooks = eval_hooks or {}
         self.state = None
         self._start_iter = 0
+        self._dev_fn = None
 
     # -- data ---------------------------------------------------------------
 
@@ -325,19 +326,23 @@ class Trainer:
 
     def _dev_sweep(self) -> None:
         from graphical_gan_tpu.core import registry
+        if self._dev_fn is None:
+            # one compiled program per dev batch (shapes are uniform —
+            # loaders drop remainders), built once and reused every sweep
+            self._dev_fn = registry.jit_apply(self.model.gen_loss)
         gen_costs, rec_costs = [], []
         for batch in self.dev_gen_factory():
             x = batch[0] if isinstance(batch, tuple) else batch
             x = jax.tree.map(jnp.asarray, x)
-            g, aux = registry.apply(
-                lambda: self.model.gen_loss(x),
-                self.state.params, self.keys.next())
-            gen_costs.append(float(g))
+            g, aux = self._dev_fn(self.state.params, self.keys.next(), x)
+            gen_costs.append(g)
             # rec/reg decomposition whenever the mode has a reconstruction
             # term (reference logs it whenever rec_penalty is not None,
             # gan_inference_cifar10.py:457-468)
             if "rec_cost" in aux:
-                rec_costs.append(float(aux["rec_cost"]))
+                rec_costs.append(aux["rec_cost"])
+        gen_costs = [float(g) for g in gen_costs]  # one sync at the end
+        rec_costs = [float(r) for r in rec_costs]
         if rec_costs:
             self.logger.plot("dev rec cost", float(np.mean(rec_costs)))
             self.logger.plot("dev reg cost",
