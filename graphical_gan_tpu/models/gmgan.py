@@ -143,8 +143,8 @@ class GMGanModel:
             feat = 4 * 4 * 4 * dim
         h = x
         for i in range(len(chans) - 1):
-            h = leaky_relu(conv2d(f"{prefix}{i + 1}", chans[i], chans[i + 1],
-                                  5, h, stride=2))
+            h = conv2d(f"{prefix}{i + 1}", chans[i], chans[i + 1],
+                                  5, h, stride=2, act="leaky_relu")
             h = dropout(h, dr)
         return h.reshape(-1, feat), feat
 

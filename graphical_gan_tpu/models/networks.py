@@ -109,10 +109,10 @@ def extractor(cfg, x_flat: jax.Array
 
     if cfg.dataset == "celeba":
         dim = cfg.dim_g or cfg.dim
-        h = leaky_relu(conv2d("Extractor.1", ch, dim, 5, x, stride=2))
-        h = leaky_relu(conv2d("Extractor.2", dim, 2 * dim, 5, h, stride=2))
-        h = leaky_relu(conv2d("Extractor.3", 2 * dim, 4 * dim, 5, h, stride=2))
-        h = leaky_relu(conv2d("Extractor.4", 4 * dim, 8 * dim, 5, h, stride=2))
+        h = conv2d("Extractor.1", ch, dim, 5, x, stride=2, act="leaky_relu")
+        h = conv2d("Extractor.2", dim, 2 * dim, 5, h, stride=2, act="leaky_relu")
+        h = conv2d("Extractor.3", 2 * dim, 4 * dim, 5, h, stride=2, act="leaky_relu")
+        h = conv2d("Extractor.4", 4 * dim, 8 * dim, 5, h, stride=2, act="leaky_relu")
         feat = 4 * 4 * 8 * dim
         h = h.reshape(-1, feat)
         # face.py:114 — no stochastic head
@@ -120,7 +120,7 @@ def extractor(cfg, x_flat: jax.Array
         return z, None, None
 
     dim = cfg.dim
-    h = leaky_relu(conv2d("Extractor.1", ch, dim, 5, x, stride=2))
+    h = conv2d("Extractor.1", ch, dim, 5, x, stride=2, act="leaky_relu")
     h = conv2d("Extractor.2", dim, 2 * dim, 5, h, stride=2)
     h = _bn_act(cfg.bn, "Extractor.BN2", h, "leaky_relu")
     h = conv2d("Extractor.3", 2 * dim, 4 * dim, 5, h, stride=2)
@@ -162,7 +162,7 @@ def discriminator_xz(cfg, x_flat: jax.Array, z: jax.Array) -> jax.Array:
         # gan_inference_mnist.py:217-252 — BN in D convs, 2-layer z branch,
         # 2-layer zx trunk
         dim = cfg.dim
-        h = leaky_relu(conv2d("Discriminator.1", ch, dim, 5, x, stride=2))
+        h = conv2d("Discriminator.1", ch, dim, 5, x, stride=2, act="leaky_relu")
         h = conv2d("Discriminator.2", dim, 2 * dim, 5, h, stride=2)
         h = _bn_act(cfg.bn, "Discriminator.BN2", h, "leaky_relu")
         h = conv2d("Discriminator.3", 2 * dim, 4 * dim, 5, h, stride=2)
@@ -189,12 +189,12 @@ def discriminator_xz(cfg, x_flat: jax.Array, z: jax.Array) -> jax.Array:
     if cfg.dataset in ("cifar10", "svhn"):
         # gan_inference_cifar10.py:232-259 — dropout instead of BN, single zx
         dim = cfg.dim
-        h = leaky_relu(conv2d("Discriminator.1", ch, dim, 5, x, stride=2))
+        h = conv2d("Discriminator.1", ch, dim, 5, x, stride=2, act="leaky_relu")
         h = dropout(h, dr)
-        h = leaky_relu(conv2d("Discriminator.2", dim, 2 * dim, 5, h, stride=2))
+        h = conv2d("Discriminator.2", dim, 2 * dim, 5, h, stride=2, act="leaky_relu")
         h = dropout(h, dr)
-        h = leaky_relu(conv2d("Discriminator.3", 2 * dim, 4 * dim, 5, h,
-                              stride=2))
+        h = conv2d("Discriminator.3", 2 * dim, 4 * dim, 5, h,
+                              stride=2, act="leaky_relu")
         h = dropout(h, dr)
         feat = 4 * 4 * 4 * dim
         h = h.reshape(-1, feat)
@@ -215,8 +215,8 @@ def discriminator_xz(cfg, x_flat: jax.Array, z: jax.Array) -> jax.Array:
         for i, (ci, co) in enumerate(
                 [(ch, dim), (dim, 2 * dim), (2 * dim, 4 * dim),
                  (4 * dim, 8 * dim)], start=1):
-            h = leaky_relu(conv2d(f"Discriminator.{i}", ci, co, 5, h,
-                                  stride=2))
+            h = conv2d(f"Discriminator.{i}", ci, co, 5, h,
+                                  stride=2, act="leaky_relu")
             h = dropout(h, dr)
         feat = 4 * 4 * 8 * dim
         h = h.reshape(-1, feat)

@@ -218,8 +218,8 @@ class SSGanModel:
         h = unflatten_image(x.reshape(b * L, cfg.output_dim), cfg.channels,
                             hgt, wdt)
         dim = cfg.dim
-        h = leaky_relu(conv2d("Extractor.1", cfg.channels, dim, 5, h,
-                              stride=2))
+        h = conv2d("Extractor.1", cfg.channels, dim, 5, h,
+                              stride=2, act="leaky_relu")
         for i, (ci, co) in enumerate(
                 [(dim, 2 * dim), (2 * dim, 4 * dim), (4 * dim, 8 * dim)],
                 start=2):
@@ -245,7 +245,7 @@ class SSGanModel:
         cl = cfg.channels * cfg.seq_len
         h = unflatten_image(x.reshape(b, cl * hgt * wdt), cl, hgt, wdt)
         dim = cfg.dim
-        h = leaky_relu(conv2d("Extractor.G.1", cl, dim, 5, h, stride=2))
+        h = conv2d("Extractor.G.1", cl, dim, 5, h, stride=2, act="leaky_relu")
         for i, (ci, co) in enumerate(
                 [(dim, 2 * dim), (2 * dim, 4 * dim), (4 * dim, 8 * dim)],
                 start=2):
@@ -280,8 +280,8 @@ class SSGanModel:
             zdim += cfg.n_classes
         z = jnp.concatenate(parts, axis=-1).reshape(b * L, zdim)
 
-        h = leaky_relu(conv2d("Discriminator.1", cfg.channels, dim, 5, h,
-                              stride=2))
+        h = conv2d("Discriminator.1", cfg.channels, dim, 5, h,
+                              stride=2, act="leaky_relu")
         h = dropout(h, dr)
         for i, (ci, co) in enumerate(
                 [(dim, 2 * dim), (2 * dim, 4 * dim), (4 * dim, 8 * dim)],
@@ -357,7 +357,7 @@ class SSGanModel:
             # frames as channels (``:406-450``)
             cl = cfg.channels * L
             h = unflatten_image(x.reshape(b, cl * hgt * wdt), cl, hgt, wdt)
-            h = leaky_relu(conv2d("Discriminator.1", cl, dim, 5, h, stride=2))
+            h = conv2d("Discriminator.1", cl, dim, 5, h, stride=2, act="leaky_relu")
             h = dropout(h, dr)
             for i, (ci, co) in enumerate(
                     [(dim, 2 * dim), (2 * dim, 4 * dim), (4 * dim, 8 * dim)],
@@ -371,8 +371,8 @@ class SSGanModel:
             # per-frame conv then concat (``:452-498``)
             h = unflatten_image(x.reshape(b * L, cfg.output_dim),
                                 cfg.channels, hgt, wdt)
-            h = leaky_relu(conv2d("Discriminator.1", cfg.channels, dim, 5, h,
-                                  stride=2))
+            h = conv2d("Discriminator.1", cfg.channels, dim, 5, h,
+                                  stride=2, act="leaky_relu")
             h = dropout(h, dr)
             for i, (ci, co) in enumerate(
                     [(dim, 2 * dim), (2 * dim, 4 * dim), (4 * dim, 8 * dim)],

@@ -81,8 +81,15 @@ def conv2d(name: str, input_dim: int, output_dim: int, filter_size: int,
            x: jax.Array, he_init: bool = True,
            mask_type: Optional[Tuple[str, int]] = None,
            stride: int = 1, weightnorm: bool = False, biases: bool = True,
-           gain: float = 1.0, padding: str = "SAME") -> jax.Array:
-    """2-D conv over NHWC input; kernel HWIO. Mirrors ``tflib/ops/conv2d.py:20-123``."""
+           gain: float = 1.0, padding: str = "SAME",
+           act: Optional[str] = None) -> jax.Array:
+    """2-D conv over NHWC input; kernel HWIO. Mirrors ``tflib/ops/conv2d.py:20-123``.
+
+    ``act`` fuses the block's activation into the conv epilogue: on direct
+    TPU backends the whole conv+bias+act runs as the Pallas implicit-GEMM
+    kernel (``ops.pallas.fused_conv``, SURVEY §2.9 row 1 — the reference
+    applied LeakyReLU after every D/E conv, ``gan_inference_cifar10.py:
+    215-229``); elsewhere XLA fuses the elementwise tail itself."""
     fan_in, fan_out = inits.conv_fans(input_dim, output_dim, filter_size,
                                       stride, mask_type is not None)
     stdev = inits.he_or_glorot_stdev(fan_in, fan_out, he_init)
@@ -104,12 +111,23 @@ def conv2d(name: str, input_dim: int, output_dim: int, filter_size: int,
         mask = _make_mask2d(mtype, mchan, filter_size, input_dim, output_dim)
         w = w * jnp.asarray(mask)
 
+    # The Pallas implicit-GEMM conv measured 0.92-0.99x XLA's conv on a v5e
+    # (XLA already fuses the bias+act epilogue into its conv) — so unlike
+    # the fused-BN kernel it is opt-in, not auto-enabled.  See
+    # ops/pallas/fused_conv.py for the measurement.
+    from graphical_gan_tpu.ops.pallas import use_pallas_conv
+    if biases and use_pallas_conv():
+        from graphical_gan_tpu.ops.pallas import fused_conv2d_bias_act
+        b = param(name + ".Biases", inits.zeros((output_dim,)))
+        return fused_conv2d_bias_act(x, w, b, stride, padding, act)
+
     out = _mxu_conv(x, w, (stride, stride), padding, _DN2D)
 
     if biases:
         b = param(name + ".Biases", inits.zeros((output_dim,)))
         out = out + b.astype(out.dtype)
-    return out
+    from graphical_gan_tpu.ops.activations import activation
+    return activation(act)(out)
 
 
 def deconv2d(name: str, input_dim: int, output_dim: int, filter_size: int,

@@ -34,14 +34,10 @@ from graphical_gan_tpu.ops import initializers as inits
 
 _EPS = 1e-5
 
-# Pallas fused-BN path: off by default (identical numerics, fewer HBM
-# passes); enable per-process via GGAN_PALLAS=1 or enable_pallas().
-_USE_PALLAS = os.environ.get("GGAN_PALLAS", "0") == "1"
-
-
-def enable_pallas(flag: bool = True) -> None:
-    global _USE_PALLAS
-    _USE_PALLAS = flag
+# Pallas fused-BN path: identical numerics, fewer HBM passes.  Gating lives
+# in ops.pallas.use_pallas (auto-on for direct TPU backends, off under
+# remote-compile relays, forced via GGAN_PALLAS / enable_pallas).
+from graphical_gan_tpu.ops.pallas import enable_pallas, use_pallas  # noqa: F401,E402
 
 
 def batchnorm_act(name: str, x: jax.Array, act: str = None,
@@ -52,7 +48,7 @@ def batchnorm_act(name: str, x: jax.Array, act: str = None,
     fused Pallas kernel; otherwise the jnp path + activation."""
     if axes is None:
         axes = tuple(range(x.ndim - 1))
-    if _USE_PALLAS and tuple(axes) == tuple(range(x.ndim - 1)):
+    if use_pallas() and tuple(axes) == tuple(range(x.ndim - 1)):
         c = x.shape[-1]
         offset = param(name + ".offset", inits.zeros((c,)))
         scale = param(name + ".scale", inits.ones((c,)))
@@ -80,7 +76,7 @@ def batchnorm(name: str, x: jax.Array, axes: Sequence[int] = None) -> jax.Array:
         c = x.shape[-1]
         offset = param(name + ".offset", inits.zeros((c,)))
         scale = param(name + ".scale", inits.ones((c,)))
-        if _USE_PALLAS:
+        if use_pallas():
             from graphical_gan_tpu.ops.pallas import fused_batchnorm_act
             return fused_batchnorm_act(x, scale, offset, None, _EPS)
         x32 = x.astype(jnp.float32)
