@@ -34,6 +34,12 @@ class MetricLogger:
     def plot(self, name: str, value) -> None:
         self._since_last_flush[name][self._iter] = float(value)
 
+    def plot_at(self, name: str, value, iteration: int) -> None:
+        """Backfill a value at an earlier tick — used by the trainer to
+        drain device-side metric buffers at flush boundaries instead of
+        forcing a device sync every iteration."""
+        self._since_last_flush[name][int(iteration)] = float(value)
+
     def flush(self, outf: Optional[str] = None,
               logfile: Optional[str] = None, render: bool = True) -> str:
         prints = []
