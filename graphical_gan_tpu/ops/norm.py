@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -97,6 +98,65 @@ def batchnorm(name: str, x: jax.Array, axes: Sequence[int] = None) -> jax.Array:
     scale = param(name + ".scale", inits.ones(shape))
     inv = jax.lax.rsqrt(var + _EPS) * scale
     return ((x32 - mean) * inv + offset).astype(x.dtype)
+
+
+def batchnorm_moving_stats(name: str, x: jax.Array, is_training,
+                           stats_iter, moving_mean: jax.Array,
+                           moving_var: jax.Array,
+                           update_moving_stats: bool = True):
+    """Opt-in rebuild of the reference's moving-stats BN machinery
+    (``tflib/ops/batchnorm.py:26-68``) — dead code in every reference entry
+    script (they never pass ``is_training``, ``:51-52``), carried for
+    library-surface completeness.  Functional: the moving stats are explicit
+    inputs/outputs (JAX has no variable assignment; they are also
+    deliberately NOT registry params so the name-prefix player partition
+    never feeds them to an optimizer — the reference marked them
+    ``trainable=False``).
+
+    Returns ``(out, new_moving_mean, new_moving_var)`` for channels-last x:
+
+    - training: batch-stats normalization (ε=1e-5); moving stats updated
+      with the reference's 1/(t+1) running mean (``:63-64``) using the
+      Bessel-corrected batch variance (what ``tf.nn.fused_batch_norm``
+      returns for its running-stats output).
+    - inference: the reference's *blended* mode (``:32-37``): PER-ITEM
+      spatial moments mixed with the moving stats at weights
+      (1/B, (B-1)/B).
+    """
+    c = x.shape[-1]
+    offset = param(name + ".offset", inits.zeros((c,)))
+    scale = param(name + ".scale", inits.ones((c,)))
+    x32 = x.astype(jnp.float32)
+    red = tuple(range(x.ndim - 1))       # (0, 1, 2) for NHWC
+    spatial = tuple(range(1, x.ndim - 1))  # (1, 2): per-item moments
+    n = np.prod([x.shape[a] for a in red]).astype(np.float32)
+
+    def train_branch(_):
+        mean = jnp.mean(x32, axis=red)
+        var = jnp.var(x32, axis=red)
+        out = (x32 - mean) * (jax.lax.rsqrt(var + _EPS) * scale) + offset
+        # running-stats update uses the Bessel-corrected variance
+        var_unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+        t = jnp.asarray(stats_iter, jnp.float32)
+        new_mean = (t / (t + 1.0)) * moving_mean + (1.0 / (t + 1.0)) * mean
+        new_var = (t / (t + 1.0)) * moving_var \
+            + (1.0 / (t + 1.0)) * var_unbiased
+        if not update_moving_stats:
+            new_mean, new_var = moving_mean, moving_var
+        return out, new_mean, new_var
+
+    def infer_branch(_):
+        b = jnp.float32(x.shape[0])
+        item_mean = jnp.mean(x32, axis=spatial, keepdims=True)
+        item_var = jnp.var(x32, axis=spatial, keepdims=True)
+        mean = (1.0 / b) * item_mean + ((b - 1.0) / b) * moving_mean
+        var = (1.0 / b) * item_var + ((b - 1.0) / b) * moving_var
+        out = (x32 - mean) * jax.lax.rsqrt(var + _EPS) * scale + offset
+        return out, moving_mean, moving_var
+
+    out, new_mean, new_var = jax.lax.cond(
+        jnp.asarray(is_training, bool), train_branch, infer_branch, None)
+    return out.astype(x.dtype), new_mean, new_var
 
 
 def layernorm(name: str, norm_axes: Sequence[int], x: jax.Array) -> jax.Array:

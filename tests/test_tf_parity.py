@@ -132,3 +132,55 @@ def test_rmsprop_vs_tf1():
         p, state = opt.update({"w": jnp.asarray(g)}, state, p)
         np.testing.assert_allclose(np.asarray(p["w"]), ref, rtol=1e-6,
                                    atol=1e-8)
+
+
+def test_batchnorm_moving_stats_vs_tf():
+    """Opt-in moving-stats BN vs a tf transliteration of the reference's
+    machinery (``tflib/ops/batchnorm.py:26-68``): training normalization +
+    the 1/(t+1) running update, and the blended inference mode."""
+    from graphical_gan_tpu.ops.norm import batchnorm_moving_stats
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(4, 5, 5, 6).astype("float32") * 2 + 0.5
+    scale = (rng.rand(6) + 0.5).astype("float32")
+    offset = rng.randn(6).astype("float32")
+    mm = rng.randn(6).astype("float32") * 0.1
+    mv = (rng.rand(6) + 0.5).astype("float32")
+
+    def ours(is_training, stats_iter):
+        def f():
+            return batchnorm_moving_stats("bn", jnp.asarray(x), is_training,
+                                          stats_iter, jnp.asarray(mm),
+                                          jnp.asarray(mv))
+        params = {"bn.offset": jnp.asarray(offset),
+                  "bn.scale": jnp.asarray(scale)}
+        return registry.apply(f, params, KEY)
+
+    # -- training branch: fused_batch_norm + running update (:29-30,:63-64)
+    y_tf, bmean_tf, bvar_tf = tf.compat.v1.nn.fused_batch_norm(
+        tf.constant(x), tf.constant(scale), tf.constant(offset),
+        epsilon=1e-5, data_format="NHWC")
+    t = 7.0
+    want_mm = (t / (t + 1)) * mm + (1 / (t + 1)) * bmean_tf.numpy()
+    want_mv = (t / (t + 1)) * mv + (1 / (t + 1)) * bvar_tf.numpy()
+    out, new_mm, new_mv = ours(True, 7)
+    np.testing.assert_allclose(np.asarray(out), y_tf.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_mm), want_mm,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_mv), want_mv,
+                               rtol=1e-4, atol=1e-4)
+
+    # -- inference branch: blended per-item moments (:32-37)
+    b = np.float32(x.shape[0])
+    item_mean = x.mean(axis=(1, 2), keepdims=True)
+    item_var = x.var(axis=(1, 2), keepdims=True)
+    mean = (1 / b) * item_mean + ((b - 1) / b) * mm
+    var = (1 / b) * item_var + ((b - 1) / b) * mv
+    want = tf.nn.batch_normalization(
+        tf.constant(x), tf.constant(mean), tf.constant(var),
+        tf.constant(offset), tf.constant(scale), 1e-5).numpy()
+    out_i, keep_mm, keep_mv = ours(False, 7)
+    np.testing.assert_allclose(np.asarray(out_i), want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(keep_mm), mm, atol=0)
+    np.testing.assert_allclose(np.asarray(keep_mv), mv, atol=0)
