@@ -32,6 +32,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are visible "
+                f"({jax.default_backend()}); on CPU set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices}")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 
@@ -54,7 +61,8 @@ def replicate(mesh: Mesh, tree):
 
 def make_parallel_train_step(model, mesh: Mesh,
                              critic_iters: Optional[int] = None,
-                             axis: str = "data", donate: bool = True):
+                             axis: str = "data", donate: bool = True,
+                             lr_scale=None):
     """Jit the fused step with DP shardings over ``mesh``.
 
     Returns ``(step, init_state, place)`` where ``place(state)`` replicates a
@@ -65,7 +73,7 @@ def make_parallel_train_step(model, mesh: Mesh,
     from graphical_gan_tpu.train.step import make_train_step
 
     raw_step, init_state = make_train_step(model, critic_iters=critic_iters,
-                                           jit=False)
+                                           lr_scale=lr_scale, jit=False)
 
     repl = NamedSharding(mesh, P())
 

@@ -44,6 +44,14 @@ def _loaders(cfg, data_dir: Optional[str]):
     raise ValueError(cfg.dataset)
 
 
+def _maybe_mesh(n_devices: Optional[int]):
+    """Data-parallel mesh over the first n devices (None/1 = single-chip)."""
+    if not n_devices or n_devices <= 1:
+        return None
+    from graphical_gan_tpu.parallel.mesh import make_mesh
+    return make_mesh(n_devices)
+
+
 def _grid_hw(cfg):
     h, w = cfg.data.image_hw
     return (h, w) if cfg.data.channels == 1 else (cfg.data.channels, h, w)
@@ -179,7 +187,7 @@ def run(dataset: str = "mnist", mode: str = "ali",
         checkpoint_every: int = 5000, checkpoints_to_keep: int = 3, sample_every: Optional[int] = None,
         tsne_every: int = 50000, inception_every: int = 10000,
         data_pipeline: Optional[str] = None, chunk_size: Optional[int] = None,
-        **overrides):
+        n_devices: Optional[int] = None, **overrides):
     cfg = gan_inference_defaults(dataset, mode, **overrides)
     model = GanInferenceModel(cfg)
     train_gen, dev_gen = _loaders(cfg, data_dir)
@@ -229,6 +237,7 @@ def run(dataset: str = "mnist", mode: str = "ali",
         lr_scale=(lambda t: jnp.maximum(0.0, 1.0 - t / cfg.iters))
         if cfg.decay else None,
         resident_data=resident, chunk_size=chunk_size,
+        mesh=_maybe_mesh(n_devices),
     )
     metrics = trainer.train(iters)
     return trainer, metrics
@@ -255,7 +264,10 @@ def main(argv=None):
                         "host: per-iteration host batches (celeba default)")
     p.add_argument("--chunk-size", type=int, default=None,
                    help="iterations fused per device dispatch in resident "
-                        "mode (default 20; 1 under remote-compile relays)")
+                        "mode (default 20)")
+    p.add_argument("--n-devices", type=int, default=None,
+                   help="data-parallel over the first N devices (params "
+                        "replicated, batch sharded over ICI)")
     args = p.parse_args(argv)
     overrides = {}
     if args.batch_size:
@@ -268,7 +280,7 @@ def main(argv=None):
         outdir=args.outdir, seed=args.seed,
         checkpoint_every=args.checkpoint_every,
         data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
-        **overrides)
+        n_devices=args.n_devices, **overrides)
 
 
 if __name__ == "__main__":

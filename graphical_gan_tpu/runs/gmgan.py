@@ -29,6 +29,7 @@ from graphical_gan_tpu.metrics.clustering import clustering_accuracy
 from graphical_gan_tpu.models.gmgan import GMGanModel
 from graphical_gan_tpu.report.save_images import save_images
 from graphical_gan_tpu.train.trainer import Trainer, make_run_dir
+from graphical_gan_tpu.runs.gan_inference import _maybe_mesh
 
 
 def _loaders(cfg, data_dir: Optional[str]):
@@ -209,7 +210,8 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
         iters: Optional[int] = None, data_dir: Optional[str] = None,
         outdir: str = "result", seed: int = 0, checkpoint_every: int = 5000, checkpoints_to_keep: int = 3,
         eval_every: int = 5000, data_pipeline: Optional[str] = None,
-        chunk_size: Optional[int] = None, **overrides):
+        chunk_size: Optional[int] = None,
+        n_devices: Optional[int] = None, **overrides):
     cfg = gmgan_defaults(dataset, mode, **overrides)
     model = GMGanModel(cfg)
     train_gen, dev_gen, test_gen = _loaders(cfg, data_dir)
@@ -245,7 +247,8 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
                       checkpoint_every=checkpoint_every,
                       checkpoints_to_keep=checkpoints_to_keep,
                       eval_hooks={eval_every: combined},
-                      resident_data=resident, chunk_size=chunk_size)
+                      resident_data=resident, chunk_size=chunk_size,
+                      mesh=_maybe_mesh(n_devices))
     metrics = trainer.train(iters)
     # final-iteration 4-way TSNE scatters (gmgan_inference_mnist.py:534-551)
     if dataset != "celeba":
@@ -276,6 +279,7 @@ def main(argv=None):
     p.add_argument("--data-pipeline", default=None,
                    choices=["resident", "host"])
     p.add_argument("--chunk-size", type=int, default=None)
+    p.add_argument("--n-devices", type=int, default=None)
     args = p.parse_args(argv)
     overrides = {"mode_k": args.mode_k}
     if args.n_coms:
@@ -286,7 +290,7 @@ def main(argv=None):
         outdir=args.outdir, seed=args.seed,
         checkpoint_every=args.checkpoint_every,
         data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
-        **overrides)
+        n_devices=args.n_devices, **overrides)
 
 
 if __name__ == "__main__":

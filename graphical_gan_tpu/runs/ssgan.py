@@ -25,6 +25,7 @@ from graphical_gan_tpu.core.config import ssgan_defaults
 from graphical_gan_tpu.models.ssgan import SSGanModel
 from graphical_gan_tpu.report.save_images import save_gifs, save_images
 from graphical_gan_tpu.train.trainer import Trainer, make_run_dir
+from graphical_gan_tpu.runs.gan_inference import _maybe_mesh
 
 
 def binarize_labels(y: np.ndarray, n_c: int) -> np.ndarray:
@@ -142,7 +143,7 @@ def run(dataset: str = "moving_mnist", mode: str = "local_ep",
         outdir: str = "result", seed: int = 0,
         checkpoint_every: int = 5000, checkpoints_to_keep: int = 3, eval_every: int = 5000,
         data_pipeline: str = "host", chunk_size: Optional[int] = None,
-        **overrides):
+        n_devices: Optional[int] = None, **overrides):
     cfg = ssgan_defaults(dataset, mode, **overrides)
     model = SSGanModel(cfg)
     train_gen, dev_gen = _loaders(cfg, data_dir)
@@ -166,7 +167,8 @@ def run(dataset: str = "moving_mnist", mode: str = "local_ep",
                       checkpoints_to_keep=checkpoints_to_keep,
                       eval_hooks={eval_every: make_eval_hook(model,
                                                              fixed_dev)},
-                      resident_data=resident, chunk_size=chunk_size)
+                      resident_data=resident, chunk_size=chunk_size,
+                      mesh=_maybe_mesh(n_devices))
     # param counts need an initialized state
     if trainer.state is None and not trainer.try_resume():
         trainer.state = trainer.init_state(
@@ -195,6 +197,7 @@ def main(argv=None):
     p.add_argument("--data-pipeline", default="host",
                    choices=["resident", "host"])
     p.add_argument("--chunk-size", type=int, default=None)
+    p.add_argument("--n-devices", type=int, default=None)
     args = p.parse_args(argv)
     overrides = {"pos_mode": args.pos_mode, "ali_mode": args.ali_mode}
     if args.seq_len:
@@ -205,7 +208,7 @@ def main(argv=None):
         outdir=args.outdir, seed=args.seed,
         checkpoint_every=args.checkpoint_every,
         data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
-        **overrides)
+        n_devices=args.n_devices, **overrides)
 
 
 if __name__ == "__main__":

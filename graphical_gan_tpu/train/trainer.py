@@ -70,7 +70,8 @@ class Trainer:
                  checkpoints_to_keep: int = 3,
                  eval_hooks: Optional[Dict[int, Callable]] = None,
                  lr_scale=None,
-                 resident_data=None, chunk_size: Optional[int] = None):
+                 resident_data=None, chunk_size: Optional[int] = None,
+                 mesh=None):
         self.model = model
         self.cfg = model.cfg
         self.train_gen_factory = train_gen_factory
@@ -84,7 +85,20 @@ class Trainer:
             else critic_iters
         self._raw_step, self.init_state = make_train_step(
             model, critic_iters=self.k, lr_scale=lr_scale, jit=False)
-        self.step_fn = jax.jit(self._raw_step, donate_argnums=(0,))
+        # mesh: data-parallel training over a jax.sharding.Mesh with a
+        # 'data' axis — params/opt state replicated, batch axis sharded,
+        # XLA inserts the per-player psum over ICI (parallel/mesh.py).
+        # Works for both the host-fed and the resident hot loops; the
+        # global batch size must divide the data-axis size.
+        self.mesh = mesh
+        if mesh is not None:
+            from graphical_gan_tpu.parallel.mesh import (
+                make_parallel_train_step)
+            self.step_fn, _, self._place = make_parallel_train_step(
+                model, mesh, critic_iters=self.k, lr_scale=lr_scale)
+        else:
+            self.step_fn = jax.jit(self._raw_step, donate_argnums=(0,))
+            self._place = lambda s: s
         # resident mode: host array/pytree of the FULL train set; uploaded
         # once in train().  chunk_size = iterations fused per lax.scan
         # dispatch (measured: 20-iteration chunks compile fine even through
@@ -144,6 +158,7 @@ class Trainer:
             return False
         like = self.init_state(self.model.init(jax.random.PRNGKey(0)))
         self.state, extra = ckpt_lib.restore(path, like)
+        self.state = self._place(self.state)
         self._start_iter = int(extra["iteration"]) + 1
         self.keys.restore(int(extra["rng_count"]))
         return True
@@ -156,7 +171,7 @@ class Trainer:
         if self.state is None:
             if not (resume and self.try_resume()):
                 params = self.model.init(self.keys.next())
-                self.state = self.init_state(params)
+                self.state = self._place(self.init_state(params))
 
         # startup parameter-count logging (gan_inference_cifar10.py:425-428)
         total = sum(int(np.prod(p.shape))
@@ -249,6 +264,20 @@ class Trainer:
             return self._chunk_fns[n]
         from graphical_gan_tpu.data.ondevice import sample_batches_tree
         raw_step, k, bs = self._raw_step, self.k, self.cfg.batch_size
+        mesh = self.mesh
+
+        def constrain(raw):
+            if mesh is None:
+                return raw
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def c(x):  # [(1+k), B, ...] — shard the batch dim over 'data'
+                spec = [None] * x.ndim
+                spec[1] = "data"
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(*spec)))
+
+            return jax.tree.map(c, raw)
 
         def chunk(state, data, base_key):
             def body(st, kk):
@@ -256,12 +285,20 @@ class Trainer:
                                           1 + k, bs)
                 # skip the G update only at global iteration 0
                 # (gan_inference_cifar10.py:433) — state.step is authoritative
-                return raw_step(st, raw, kk, st.step > 0)
+                return raw_step(st, constrain(raw), kk, st.step > 0)
 
             keys = jax.random.split(base_key, n)
             return jax.lax.scan(body, state, keys)
 
-        fn = jax.jit(chunk, donate_argnums=(0,))
+        if mesh is None:
+            fn = jax.jit(chunk, donate_argnums=(0,))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            # dataset + params replicated; the sampled batch is re-sharded
+            # by the constraint inside the program (gather stays local)
+            fn = jax.jit(chunk, in_shardings=(repl, repl, repl),
+                         out_shardings=(repl, repl), donate_argnums=(0,))
         self._chunk_fns[n] = fn
         return fn
 
@@ -295,7 +332,12 @@ class Trainer:
 
     def _train_resident(self, iters, profile_dir, profile_start,
                         profile_steps) -> Dict[str, float]:
-        data = jax.tree.map(jnp.asarray, self.resident_data)
+        if self.mesh is not None:
+            from graphical_gan_tpu.parallel.mesh import replicate
+            data = replicate(self.mesh, jax.tree.map(np.asarray,
+                                                     self.resident_data))
+        else:
+            data = jax.tree.map(jnp.asarray, self.resident_data)
         last: Dict[str, float] = {}
         it = self._start_iter
         trace_active = False

@@ -4,6 +4,7 @@ classifier training."""
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -74,6 +75,38 @@ def test_trainer_resident_mode(tmp_path):
     assert tr.logger.iteration == 7
     assert len(tr.logger.history("train disc cost")) == 5
     assert set(tr.logger._since_last_flush["train disc cost"]) == {5, 6}
+
+
+def test_trainer_mesh_resident_matches_single_device(tmp_path):
+    """Trainer(mesh=...) in resident mode: data-parallel over the 8-device
+    virtual mesh must reproduce the single-device run (same keys => same
+    batches; DP is a pure batch partition)."""
+    from graphical_gan_tpu.parallel.mesh import make_mesh
+
+    data = np.random.RandomState(0).rand(64, 784).astype("float32")
+    tr1 = make_trainer(tmp_path / "a", resident_data=data, chunk_size=3)
+    m1 = tr1.train(iters=7, resume=False)
+    tr2 = make_trainer(tmp_path / "b", resident_data=data, chunk_size=3,
+                       mesh=make_mesh(8))
+    m2 = tr2.train(iters=7, resume=False)
+    assert m1["gen_cost"] == pytest.approx(m2["gen_cost"], rel=1e-4)
+    assert m1["disc_cost"] == pytest.approx(m2["disc_cost"], rel=1e-4)
+    # params end up replicated and equal to the single-device run up to
+    # reduction-order float noise compounded over 7 Adam steps (psum of
+    # per-shard partials vs one full-batch reduction)
+    for n in tr1.state.params:
+        np.testing.assert_allclose(np.asarray(tr2.state.params[n]),
+                                   np.asarray(tr1.state.params[n]),
+                                   rtol=1e-2, atol=1e-3)
+
+
+def test_trainer_mesh_host_path(tmp_path):
+    from graphical_gan_tpu.parallel.mesh import make_mesh
+    tr = make_trainer(tmp_path, mesh=make_mesh(8))
+    metrics = tr.train(iters=3, resume=False)
+    assert np.isfinite(metrics["gen_cost"])
+    # params live replicated across all 8 mesh devices
+    assert len(jax.tree.leaves(tr.state.params)[0].sharding.device_set) == 8
 
 
 def test_trainer_resident_resume(tmp_path):
