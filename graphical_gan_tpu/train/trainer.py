@@ -71,7 +71,7 @@ class Trainer:
                  eval_hooks: Optional[Dict[int, Callable]] = None,
                  lr_scale=None,
                  resident_data=None, chunk_size: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, render_curves: Optional[bool] = None):
         self.model = model
         self.cfg = model.cfg
         self.train_gen_factory = train_gen_factory
@@ -101,14 +101,23 @@ class Trainer:
             self._place = lambda s: s
         # resident mode: host array/pytree of the FULL train set; uploaded
         # once in train().  chunk_size = iterations fused per lax.scan
-        # dispatch (measured: 20-iteration chunks compile fine even through
-        # the remote-compile relay because the dataset is an argument, not
-        # an embedded constant; if a relay still rejects the scanned
-        # program, the loop falls back to single-iteration dispatches).
+        # dispatch; None (default) = auto, fusing all iterations up to the
+        # next host-side event boundary (capped at 200) into ONE dispatch —
+        # the scan body compiles once regardless of trip count, and each
+        # extra dispatch costs a host round trip (expensive on relayed
+        # backends).  If a relay rejects the scanned program, the loop
+        # falls back to single-iteration dispatches.
         self.resident_data = resident_data
-        self.chunk_size = max(1, chunk_size if chunk_size is not None else 20)
+        self.chunk_size = chunk_size if chunk_size is None \
+            else max(1, chunk_size)
         self._chunk_fns: Dict[int, Callable] = {}
         self._chunk_ok: set = set()
+        # per-metric curve images re-rendered at every flush, like the
+        # reference (tflib/plot.py:22-41).  GGAN_RENDER_CURVES=0 disables
+        # (tests); explicit arg wins over env.
+        if render_curves is None:
+            render_curves = os.environ.get("GGAN_RENDER_CURVES", "1") != "0"
+        self.render_curves = render_curves
         self.keys = KeyStream(seed)
         self.logger = MetricLogger()
         self.checkpoint_every = checkpoint_every
@@ -117,6 +126,7 @@ class Trainer:
         self.state = None
         self._start_iter = 0
         self._dev_fn = None
+        self._dev_data = None
 
     # -- data ---------------------------------------------------------------
 
@@ -237,7 +247,8 @@ class Trainer:
                 self._dev_sweep()
 
             if iteration < 5 or iteration % 100 == 99:
-                self.logger.flush(self.outf, self.logfile, render=False)
+                self.logger.flush(self.outf, self.logfile,
+                                  render=self.render_curves)
             self.logger.tick()
 
             for every, hook in self.eval_hooks.items():
@@ -347,7 +358,8 @@ class Trainer:
             in_flight = None  # (n, device metrics) — 1-deep pipeline
             t0 = time.time()
             while it < target:
-                n = min(self.chunk_size, target - it)
+                cap = 200 if self.chunk_size is None else self.chunk_size
+                n = min(cap, target - it)
                 if profile_dir and not trace_active \
                         and it + n > profile_start >= it:
                     jax.profiler.start_trace(profile_dir)
@@ -398,7 +410,8 @@ class Trainer:
             if iteration % 100 == 99 and self.dev_gen_factory is not None:
                 self._dev_sweep()
             if iteration < 5 or iteration % 100 == 99:
-                self.logger.flush(self.outf, self.logfile, render=False)
+                self.logger.flush(self.outf, self.logfile,
+                                  render=self.render_curves)
             self.logger.tick()
             for every, hook in self.eval_hooks.items():
                 if iteration % every == every - 1:
@@ -411,29 +424,85 @@ class Trainer:
         return last
 
     def _dev_sweep(self) -> None:
-        from graphical_gan_tpu.core import registry
+        """Dev-set loss sweep (reference cadence: every 100 iters,
+        ``gan_inference_cifar10.py:456-477``).
+
+        Default path: the dev set is materialized ONCE to device memory and
+        the whole sweep is ONE scanned compiled program + one fetch — the
+        per-batch alternative costs a dispatch round trip and a host->device
+        upload per dev batch per sweep, which dominated production wall time
+        on relayed backends (measured ~0.15 s/iter amortized at the 100-iter
+        cadence).  Dev sets larger than GGAN_DEV_RESIDENT_MAX bytes (default
+        512 MB) fall back to the per-batch path."""
         if self._dev_fn is None:
-            # one compiled program per dev batch (shapes are uniform —
-            # loaders drop remainders), built once and reused every sweep
-            self._dev_fn = registry.jit_apply(self.model.gen_loss)
-        gen_costs, rec_costs = [], []
-        for batch in self.dev_gen_factory():
-            x = batch[0] if isinstance(batch, tuple) else batch
-            x = jax.tree.map(jnp.asarray, x)
-            g, aux = self._dev_fn(self.state.params, self.keys.next(), x)
-            gen_costs.append(g)
-            # rec/reg decomposition whenever the mode has a reconstruction
-            # term (reference logs it whenever rec_penalty is not None,
-            # gan_inference_cifar10.py:457-468)
-            if "rec_cost" in aux:
-                rec_costs.append(aux["rec_cost"])
-        # one stacked fetch per sweep (per-scalar fetches are a full relay
-        # round trip each)
-        gen_costs = np.asarray(jnp.stack(gen_costs)) if gen_costs else []
-        rec_costs = np.asarray(jnp.stack(rec_costs)) if rec_costs else []
+            self._build_dev_sweep()
+        if self._dev_data is not None:
+            outs = self._dev_fn(self.state.params, self.keys.next(),
+                                self._dev_data)
+            outs = {k: np.asarray(v) for k, v in outs.items()}
+            gen_costs = outs["gen"]
+            rec_costs = outs.get("rec", [])
+        else:
+            gen_costs, rec_costs = self._dev_sweep_per_batch()
+        # rec/reg decomposition whenever the mode has a reconstruction term
+        # (reference logs it whenever rec_penalty is not None)
         if len(rec_costs):
             self.logger.plot("dev rec cost", float(np.mean(rec_costs)))
             self.logger.plot("dev reg cost",
                              float(np.mean(gen_costs) - np.mean(rec_costs)))
         else:
             self.logger.plot("dev gen cost", float(np.mean(gen_costs)))
+
+    def _build_dev_sweep(self) -> None:
+        from graphical_gan_tpu.core import registry
+        batches = [b[0] if isinstance(b, tuple) else b
+                   for b in self.dev_gen_factory()]
+        stacked = jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+        nbytes = sum(x.nbytes for x in jax.tree.leaves(stacked))
+        limit = int(os.environ.get("GGAN_DEV_RESIDENT_MAX",
+                                   512 * 1024 * 1024))
+        if nbytes > limit:
+            self._dev_data = None
+            # one compiled program per dev batch (shapes are uniform —
+            # loaders drop remainders), built once and reused every sweep
+            self._dev_fn = registry.jit_apply(self.model.gen_loss)
+            return
+        if self.mesh is not None:
+            from graphical_gan_tpu.parallel.mesh import replicate
+            self._dev_data = replicate(self.mesh, stacked)
+        else:
+            self._dev_data = jax.device_put(stacked)
+        gen_loss = self.model.gen_loss
+
+        def sweep(params, key, data):
+            n = jax.tree.leaves(data)[0].shape[0]
+
+            def body(_, xk):
+                x, kk = xk
+                g, aux = registry.apply(lambda: gen_loss(x), params, kk)
+                out = {"gen": g}
+                if isinstance(aux, dict) and "rec_cost" in aux:
+                    out["rec"] = aux["rec_cost"]
+                return None, out
+
+            _, outs = jax.lax.scan(body, None,
+                                   (data, jax.random.split(key, n)))
+            return outs
+
+        self._dev_fn = jax.jit(sweep)
+
+    def _dev_sweep_per_batch(self):
+        gen_costs, rec_costs = [], []
+        for batch in self.dev_gen_factory():
+            x = batch[0] if isinstance(batch, tuple) else batch
+            x = jax.tree.map(jnp.asarray, x)
+            g, aux = self._dev_fn(self.state.params, self.keys.next(), x)
+            gen_costs.append(g)
+            if "rec_cost" in aux:
+                rec_costs.append(aux["rec_cost"])
+        # one stacked fetch per sweep (per-scalar fetches are a full relay
+        # round trip each)
+        gen_costs = np.asarray(jnp.stack(gen_costs)) if gen_costs else []
+        rec_costs = np.asarray(jnp.stack(rec_costs)) if rec_costs else []
+        return gen_costs, rec_costs

@@ -19,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# keep per-flush matplotlib curve rendering out of the hot test loops
+# (individual tests opt back in with render_curves=True)
+os.environ.setdefault("GGAN_RENDER_CURVES", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -50,3 +50,15 @@ def test_corrupt_checkpoint_raises_cleanly(tmp_path):
         checkpoint.restore(bad, {"a": np.zeros(2)})
     # latest() still finds it by name; restore is what validates content
     assert checkpoint.latest(str(tmp_path)).endswith("ckpt_3.npz")
+
+
+@pytest.mark.slow
+def test_mfu_flop_counting():
+    """XLA cost-analysis FLOP counting for the fused step: positive, and
+    scales roughly linearly with batch size (conv/matmul-dominated)."""
+    from graphical_gan_tpu.tools.mfu import flops_per_iter
+
+    f8 = flops_per_iter("float32", dim=8, batch_size=8)
+    f16 = flops_per_iter("float32", dim=8, batch_size=16)
+    assert f8 > 1e6
+    assert 1.5 < f16 / f8 < 2.5

@@ -42,6 +42,21 @@ def test_trainer_runs_and_logs(tmp_path):
     assert os.path.isfile(os.path.join(str(tmp_path), "ckpt_4.npz"))
 
 
+def test_trainer_renders_metric_curves(tmp_path):
+    """With render_curves=True (the production default) every flush
+    re-renders one curve image per metric, like the reference
+    (tflib/plot.py:22-41).  conftest sets GGAN_RENDER_CURVES=0, so the
+    explicit arg must win over the env."""
+    pytest.importorskip("matplotlib")
+    tr = make_trainer(tmp_path, render_curves=True)
+    tr.train(iters=3, resume=False)
+    assert os.path.isfile(os.path.join(str(tmp_path),
+                                       "train_disc_cost.jpg"))
+    assert os.path.isfile(os.path.join(str(tmp_path), "time.jpg"))
+    # and the test-suite default keeps rendering off
+    assert make_trainer(tmp_path / "b").render_curves is False
+
+
 def test_trainer_resume_continues(tmp_path):
     tr = make_trainer(tmp_path, checkpoint_every=2)
     tr.train(iters=4, resume=False)
