@@ -36,8 +36,9 @@ from graphical_gan_tpu.ops import initializers as inits
 _EPS = 1e-5
 
 # Pallas fused-BN path: identical numerics, fewer HBM passes.  Gating lives
-# in ops.pallas.use_pallas (auto-on for direct TPU backends, off under
-# remote-compile relays, forced via GGAN_PALLAS / enable_pallas).
+# in ops.pallas.use_pallas (strictly opt-in via GGAN_PALLAS=1 /
+# enable_pallas — honest A/Bs measured XLA's own fusion at or ahead of the
+# kernel; see ops/pallas/__init__.py and tools/bench_pallas.py).
 from graphical_gan_tpu.ops.pallas import enable_pallas, use_pallas  # noqa: F401,E402
 
 

@@ -3,14 +3,16 @@
 Gate semantics (``use_pallas()``):
 
 - ``GGAN_PALLAS=1`` / ``=0`` forces the paths on/off;
-- unset: auto-enable on a DIRECT TPU backend — remote-compile relays
-  (``PALLAS_AXON_REMOTE_COMPILE``) cap program size and compile custom-VJP
-  kernels in minutes, so they stay on the XLA paths; CPU runs use interpret
-  mode only in tests.
+- unset: OFF.  Both kernels are strictly opt-in: honest (hard-fetch-timed,
+  see BASELINE.md "measurement honesty") A/Bs against XLA measured the
+  fused BN+act kernel at 0.66x XLA on the 0.5 GB shape and ~1.0x at the
+  model-family shapes (``tools/bench_pallas.py``), and the fused conv at
+  0.92-0.99x — XLA's own fusion of these epilogues is already at or past
+  this implementation.  An earlier 1.23x result for the BN kernel was an
+  artifact of ``block_until_ready``-based timing and is retracted.  The
+  kernels remain maintained + tested (custom VJPs, interpret-mode parity)
+  as the framework's Pallas integration seam.
 - ``enable_pallas(flag)`` overrides programmatically (used by tests).
-
-The decision is evaluated lazily (first use) because it needs the backend,
-and importing this package must not initialize one.
 """
 
 from __future__ import annotations
@@ -19,7 +21,6 @@ import os
 from typing import Optional
 
 _FORCED: Optional[bool] = None
-_AUTO: Optional[bool] = None
 
 
 def enable_pallas(flag: bool = True) -> None:
@@ -28,17 +29,9 @@ def enable_pallas(flag: bool = True) -> None:
 
 
 def use_pallas() -> bool:
-    global _AUTO
     if _FORCED is not None:
         return _FORCED
-    env = os.environ.get("GGAN_PALLAS")
-    if env is not None:
-        return env == "1"
-    if _AUTO is None:
-        import jax
-        _AUTO = (jax.default_backend() == "tpu"
-                 and not os.environ.get("PALLAS_AXON_REMOTE_COMPILE"))
-    return _AUTO
+    return os.environ.get("GGAN_PALLAS") == "1"
 
 
 def use_pallas_conv() -> bool:

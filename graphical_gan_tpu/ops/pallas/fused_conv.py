@@ -36,8 +36,9 @@ cifar10 discriminator shapes (B=64, 5x5 stride-2):
 
 FINDING (SURVEY §2.9 row 1): XLA already fuses bias+activation into its conv
 epilogue, and its conv kernels edge out this implicit GEMM by 1-8% — so this
-kernel is OPT-IN (``GGAN_PALLAS_CONV=1``), unlike the fused-BN kernel which
-measured a 1.23x win and auto-enables.  Correctness:
+kernel is OPT-IN (``GGAN_PALLAS_CONV=1``), like the fused-BN kernel (whose
+early 1.23x result did not survive hard-fetch timing — see
+``tools/bench_pallas.py``).  Correctness:
 tests/test_pallas_conv.py (forward vs XLA at the model-family shapes incl.
 bf16, VJP vs ``jax.grad`` of the XLA path, gate dispatch equivalence).
 """

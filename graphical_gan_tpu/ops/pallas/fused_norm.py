@@ -22,10 +22,15 @@ Enabled via ``GGAN_PALLAS=1`` / ``ops.norm.enable_pallas()`` — numerics
 match the jnp reference path to f32 roundoff (see tests/test_pallas.py);
 falls back to interpret mode off TPU.
 
-Measured on one TPU v5e chip (f32, [64*64*64, 512] activation = 0.5 GB
-round-trip per call): 3.69 ms/call (291 GB/s effective) vs 4.53 ms
-(237 GB/s) for the XLA mean/var+normalize+leaky path — 1.23x; parity at
-small sizes where dispatch dominates.
+Measured on one TPU v5e chip with hard-fetch-bounded timing
+(``tools/bench_pallas.py``; reproduced twice): at the 0.5 GB
+[64*64*64, 512] f32 shape this kernel runs 0.66x the XLA
+mean/var+normalize+leaky path (7.45 vs 4.90 ms/application), and ~1.0x at
+the model-family shapes — XLA's own fusion of this pattern is already at
+or past this implementation, so the kernel is strictly OPT-IN
+(``GGAN_PALLAS=1``).  An earlier 1.23x result was an artifact of
+``block_until_ready``-based timing on the relay backend (see BASELINE.md
+"measurement honesty") and is retracted.
 """
 
 from __future__ import annotations

@@ -78,9 +78,9 @@ def _build(dtype: str, **overrides):
     return cfg, model, init_state, one_iter, chunk
 
 
-def flops_per_iter(dtype: str, **overrides) -> float:
-    """FLOPs of ONE training iteration per XLA's cost model (single-iter
-    program, so the count excludes the scan wrapper)."""
+def cost_per_iter(dtype: str, **overrides) -> dict:
+    """XLA cost model of ONE training iteration (single-iter program, so the
+    count excludes the scan wrapper): {'flops', 'bytes accessed', ...}."""
     cfg, model, init_state, one_iter, _ = _build(dtype, **overrides)
     params = model.init(jax.random.PRNGKey(0))
     state = init_state(params)
@@ -91,7 +91,11 @@ def flops_per_iter(dtype: str, **overrides) -> float:
         cost = cost[0]
     if not cost or "flops" not in cost:
         raise RuntimeError("backend exposes no cost analysis")
-    return float(cost["flops"])
+    return dict(cost)
+
+
+def flops_per_iter(dtype: str, **overrides) -> float:
+    return float(cost_per_iter(dtype, **overrides)["flops"])
 
 
 def _flops_via_cpu_subprocess(dtype: str) -> float:
@@ -153,11 +157,12 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     try:
-        flops = flops_per_iter(args.dtype)
+        cost = cost_per_iter(args.dtype)
         flops_src = "device cost_analysis"
     except Exception:
-        flops = _flops_via_cpu_subprocess(args.dtype)
+        cost = {"flops": _flops_via_cpu_subprocess(args.dtype)}
         flops_src = "cpu-lowered cost_analysis"
+    flops = float(cost["flops"])
 
     dt = measure_step_time(args.dtype, args.rounds)
 
@@ -176,6 +181,18 @@ def main(argv=None):
         "peak_tflops": round(peak / 1e12, 1) if peak else None,
         "mfu": round(achieved / peak, 4) if peak else None,
     }
+    # roofline companion: if the program moves B bytes/iter, its HBM-side
+    # speed-of-light is B / <bw peak>; low MFU with high BW utilization
+    # means the program is bandwidth-bound, not badly scheduled.
+    nbytes = float(cost.get("bytes accessed", 0.0))
+    if nbytes:
+        rec["bytes_per_iter"] = nbytes
+        rec["achieved_gbps"] = round(nbytes / dt / 1e9, 1)
+        bw_peak = {"TPU v5 lite": 819e9, "TPU v5e": 819e9,
+                   "TPU v4": 1228e9, "TPU v5p": 2765e9,
+                   "TPU v6 lite": 1640e9}.get(dev.device_kind)
+        if bw_peak:
+            rec["hbm_bw_util"] = round(nbytes / dt / bw_peak, 4)
     print(json.dumps(rec))
     return rec
 

@@ -62,3 +62,23 @@ def test_mfu_flop_counting():
     f16 = flops_per_iter("float32", dim=8, batch_size=16)
     assert f8 > 1e6
     assert 1.5 < f16 / f8 < 2.5
+
+
+@pytest.mark.slow
+def test_bench_families_measure_tiny():
+    """The per-family throughput harness runs end to end at a tiny config
+    (machinery test; real numbers come from the TPU run in BASELINE.md)."""
+    from graphical_gan_tpu.tools import bench_families as bf
+    from graphical_gan_tpu.core.config import gmgan_defaults
+    from graphical_gan_tpu.models.gmgan import GMGanModel
+
+    old = bf.CHUNK, bf.N_CHUNKS, bf.ROUNDS
+    bf.CHUNK, bf.N_CHUNKS, bf.ROUNDS = 2, 1, 1
+    try:
+        cfg = gmgan_defaults("cifar10", "local_ep", dim=8, batch_size=8)
+        resident = np.random.RandomState(0).randint(
+            0, 256, size=(64, cfg.data.output_dim)).astype(np.int32)
+        ips, spi = bf._measure(GMGanModel(cfg), cfg, resident)
+        assert np.isfinite(ips) and ips > 0 and spi > 0
+    finally:
+        bf.CHUNK, bf.N_CHUNKS, bf.ROUNDS = old
