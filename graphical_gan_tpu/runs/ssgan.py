@@ -153,14 +153,36 @@ def run(dataset: str = "moving_mnist", mode: str = "local_ep",
                          "LEN": cfg.seq_len})
     fixed_dev = next(iter(dev_gen()))
 
-    # opt-in only for ssgan: moving-mnist synthesizes a FRESH epoch on the
-    # host each pass (tflib/simple_moving_mnist.py:54-96); resident mode
-    # freezes one materialized epoch in HBM, trading data freshness for the
-    # zero-host-feed hot loop (fine for chairs whose dataset is static).
-    resident = None
+    # Three input pipelines for ssgan:
+    # - "host" (reference-faithful): moving-mnist synthesizes a FRESH epoch
+    #   on the host each pass (tflib/simple_moving_mnist.py:54-96) and feeds
+    #   it over; the only choice for chairs-from-disk beyond resident.
+    # - "resident": one materialized epoch frozen in HBM, trading data
+    #   freshness for the zero-host-feed hot loop (fine for chairs whose
+    #   dataset is static anyway).
+    # - "device" (moving_mnist only, TPU-native): the 28x28 digit POOL lives
+    #   in HBM and the bouncing-video synthesis itself runs inside the
+    #   compiled training step — fresh videos every iteration at device
+    #   speed, zero host bytes in the loop (data/ondevice_moving_mnist.py).
+    resident, sampler = None, None
     if data_pipeline == "resident":
         from graphical_gan_tpu.data.common import materialize_epoch
         resident = materialize_epoch(train_gen)
+    elif data_pipeline == "device":
+        if dataset != "moving_mnist":
+            raise ValueError("data_pipeline='device' synthesizes "
+                             "moving-mnist only")
+        from graphical_gan_tpu.data.moving_mnist import (DIGIT_SIZE,
+                                                         _mnist_pool)
+        from graphical_gan_tpu.data.ondevice_moving_mnist import (
+            make_video_sampler)
+        (pool_x, pool_y), _ = _mnist_pool(None)
+        resident = {
+            "digits": np.asarray(pool_x, np.float32).reshape(
+                -1, DIGIT_SIZE, DIGIT_SIZE),
+            "labels": binarize_labels(np.asarray(pool_y), cfg.n_classes),
+        }
+        sampler = make_video_sampler(cfg.seq_len)
 
     trainer = Trainer(model, train_gen, dev_gen, outf=outf, seed=seed,
                       checkpoint_every=checkpoint_every,
@@ -168,6 +190,7 @@ def run(dataset: str = "moving_mnist", mode: str = "local_ep",
                       eval_hooks={eval_every: make_eval_hook(model,
                                                              fixed_dev)},
                       resident_data=resident, chunk_size=chunk_size,
+                      batch_sampler=sampler,
                       mesh=_maybe_mesh(n_devices))
     # param counts need an initialized state
     if trainer.state is None and not trainer.try_resume():
@@ -195,7 +218,7 @@ def main(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--checkpoint-every", type=int, default=5000)
     p.add_argument("--data-pipeline", default="host",
-                   choices=["resident", "host"])
+                   choices=["resident", "host", "device"])
     p.add_argument("--chunk-size", type=int, default=None)
     p.add_argument("--n-devices", type=int, default=None)
     args = p.parse_args(argv)

@@ -33,18 +33,19 @@ N_CHUNKS = 5
 ROUNDS = 5
 
 
-def _measure(model, cfg, resident, items_per_image: int = 1):
+def _measure(model, cfg, resident, items_per_image: int = 1, sampler=None):
     from graphical_gan_tpu.train.step import make_train_step
     from graphical_gan_tpu.data.ondevice import sample_batches_tree
 
     k = cfg.critic_iters
     step, init_state = make_train_step(model, jit=False)
     data = jax.tree.map(jnp.asarray, resident)
+    sampler = sampler or sample_batches_tree
 
     def chunk(state, data, base_key):
         def body(st, kk):
-            raw = sample_batches_tree(data, jax.random.fold_in(kk, 7),
-                                      1 + k, cfg.batch_size)
+            raw = sampler(data, jax.random.fold_in(kk, 7),
+                          1 + k, cfg.batch_size)
             s, m = step(st, raw, kk, jnp.asarray(True))
             return s, m["disc_cost"]
 
@@ -105,14 +106,42 @@ def bench_ssgan():
             "sec_per_iter": round(spi, 6)}
 
 
+def bench_ssgan_device_synthesis():
+    """ssgan with the fully on-device moving-MNIST synthesizer in the loop
+    (data/ondevice_moving_mnist.py) — fresh videos per iteration instead of
+    resident-epoch gathers."""
+    from graphical_gan_tpu.core.config import ssgan_defaults
+    from graphical_gan_tpu.models.ssgan import SSGanModel
+    from graphical_gan_tpu.data.ondevice_moving_mnist import (
+        make_video_sampler)
+
+    cfg = ssgan_defaults("moving_mnist", "local_ep",
+                         compute_dtype="bfloat16")
+    model = SSGanModel(cfg)
+    rng = np.random.RandomState(0)
+    resident = {
+        "digits": rng.rand(50_000, 28, 28).astype(np.float32),
+        "labels": np.eye(cfg.n_classes, dtype=np.float32)[
+            rng.randint(0, cfg.n_classes, size=50_000)],
+    }
+    ips, spi = _measure(model, cfg, resident,
+                        items_per_image=cfg.seq_len,
+                        sampler=make_video_sampler(cfg.seq_len))
+    return {"metric":
+            "ssgan_moving_mnist_device_synthesis_train_throughput",
+            "value": round(ips, 1), "unit": "frames/sec/chip",
+            "sec_per_iter": round(spi, 6)}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--families", nargs="+", default=["gmgan", "ssgan"],
-                   choices=["gmgan", "ssgan"])
+                   choices=["gmgan", "ssgan", "ssgan_device"])
     args = p.parse_args(argv)
     out = []
     for fam in args.families:
-        rec = {"gmgan": bench_gmgan, "ssgan": bench_ssgan}[fam]()
+        rec = {"gmgan": bench_gmgan, "ssgan": bench_ssgan,
+               "ssgan_device": bench_ssgan_device_synthesis}[fam]()
         print(json.dumps(rec))
         out.append(rec)
     return out

@@ -71,7 +71,8 @@ class Trainer:
                  eval_hooks: Optional[Dict[int, Callable]] = None,
                  lr_scale=None,
                  resident_data=None, chunk_size: Optional[int] = None,
-                 mesh=None, render_curves: Optional[bool] = None):
+                 mesh=None, render_curves: Optional[bool] = None,
+                 batch_sampler: Optional[Callable] = None):
         self.model = model
         self.cfg = model.cfg
         self.train_gen_factory = train_gen_factory
@@ -108,6 +109,12 @@ class Trainer:
         # backends).  If a relay rejects the scanned program, the loop
         # falls back to single-iteration dispatches.
         self.resident_data = resident_data
+        # batch_sampler(data, key, n_batches, batch_size) -> raw pytree:
+        # how resident-mode iterations draw their (1+k) batches on device.
+        # Default = uniform gather from the resident arrays; an on-device
+        # SYNTHESIZER (e.g. data/ondevice_moving_mnist.make_video_sampler)
+        # generates fresh examples inside the compiled step instead.
+        self.batch_sampler = batch_sampler
         self.chunk_size = chunk_size if chunk_size is None \
             else max(1, chunk_size)
         self._chunk_fns: Dict[int, Callable] = {}
@@ -274,6 +281,7 @@ class Trainer:
         if n in self._chunk_fns:
             return self._chunk_fns[n]
         from graphical_gan_tpu.data.ondevice import sample_batches_tree
+        sampler = self.batch_sampler or sample_batches_tree
         raw_step, k, bs = self._raw_step, self.k, self.cfg.batch_size
         mesh = self.mesh
 
@@ -292,8 +300,7 @@ class Trainer:
 
         def chunk(state, data, base_key):
             def body(st, kk):
-                raw = sample_batches_tree(data, jax.random.fold_in(kk, 7),
-                                          1 + k, bs)
+                raw = sampler(data, jax.random.fold_in(kk, 7), 1 + k, bs)
                 # skip the G update only at global iteration 0
                 # (gan_inference_cifar10.py:433) — state.step is authoritative
                 return raw_step(st, constrain(raw), kk, st.step > 0)
