@@ -192,16 +192,21 @@ def run(dataset: str = "mnist", mode: str = "ali",
     model = GanInferenceModel(cfg)
     train_gen, dev_gen = _loaders(cfg, data_dir)
 
-    # Input pipeline: mnist/cifar10/svhn fit whole in HBM, so the default is
-    # the on-device resident dataset (one upload, batches drawn by device
-    # gather inside the fused multi-iteration step — see train.trainer);
-    # celeba (~10 GB as int32) stays on the host feed path.
+    # Input pipeline: every gan_inference dataset fits in HBM, so the
+    # default is the on-device resident dataset (one upload, batches drawn
+    # by device gather inside the fused multi-iteration step — see
+    # train.trainer).  CelebA is resident as uint8 — 202,599 x 12,288 bytes
+    # = 2.5 GB of a v5e's 16 GB HBM — and the model dequantizes raw ints on
+    # device anyway (models/common.py: normalize_input), so nothing is lost
+    # by the narrow dtype.  --data-pipeline host restores the feed path.
     if data_pipeline is None:
-        data_pipeline = "host" if dataset == "celeba" else "resident"
+        data_pipeline = "resident"
     resident = None
     if data_pipeline == "resident":
         from graphical_gan_tpu.data.common import materialize_epoch
         resident = materialize_epoch(train_gen)
+        if cfg.data.normalization in ("int_pm1", "dequant", "int256_pm1"):
+            resident = resident.astype(np.uint8)  # raw pixels, 0..255
 
     outf = make_run_dir(outdir, f"gan_inference_{dataset}", {"MODE": mode})
     if dataset == "cifar10":

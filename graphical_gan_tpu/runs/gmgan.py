@@ -216,14 +216,16 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
     model = GMGanModel(cfg)
     train_gen, dev_gen, test_gen = _loaders(cfg, data_dir)
 
-    # on-device resident dataset by default for the HBM-sized datasets
-    # (see runs.gan_inference / train.trainer)
+    # on-device resident dataset by default — celeba rides as uint8 raw
+    # pixels, 2.5 GB in HBM (see runs.gan_inference / train.trainer)
     if data_pipeline is None:
-        data_pipeline = "host" if dataset == "celeba" else "resident"
+        data_pipeline = "resident"
     resident = None
     if data_pipeline == "resident":
         from graphical_gan_tpu.data.common import materialize_epoch
         resident = materialize_epoch(train_gen)
+        if cfg.data.normalization in ("int_pm1", "dequant", "int256_pm1"):
+            resident = resident.astype(np.uint8)  # raw pixels, 0..255
 
     outf = make_run_dir(outdir, f"gmgan_inference_{dataset}",
                         {"MODE": mode, "N_COMS": cfg.n_coms})

@@ -208,7 +208,22 @@ class Trainer:
             return self._train_resident(iters, profile_dir, profile_start,
                                         profile_steps)
 
+        # Host-fed hot loop.  The (1+k)-batch stack for iteration i+1 is
+        # assembled and transferred on a background thread while iteration i
+        # computes (data/prefetch.py) — synthesis-heavy loaders (moving-
+        # MNIST) and slow host->device links otherwise serialize with the
+        # step.  Batch ORDER is unchanged, so resume stays deterministic.
+        # Mesh runs keep the direct path (the parallel step owns placement).
         gen = self._inf_batches()
+        batches = None
+        if self.mesh is None and os.environ.get("GGAN_PREFETCH", "1") != "0":
+            from graphical_gan_tpu.data.prefetch import prefetch_to_device
+
+            def stacked_iter():
+                while True:
+                    yield self._stacked(gen)
+
+            batches = prefetch_to_device(stacked_iter(), size=2)
         last: Dict = {}
         pend_m = []  # [(iteration, metric name, device scalar)]
         trace_active = False
@@ -217,7 +232,8 @@ class Trainer:
                 jax.profiler.start_trace(profile_dir)
                 trace_active = True
             t0 = time.time()
-            raw = jax.tree.map(jnp.asarray, self._stacked(gen))
+            raw = next(batches) if batches is not None \
+                else jax.tree.map(jnp.asarray, self._stacked(gen))
             self.state, metrics = self.step_fn(
                 self.state, raw, self.keys.next(),
                 jnp.asarray(iteration > 0))
@@ -267,6 +283,8 @@ class Trainer:
                 self.save(iteration)
         if trace_active:
             jax.profiler.stop_trace()
+        if batches is not None:
+            batches.close()  # release the worker + queued device buffers
         return {k: float(v) for k, v in last.items()}
 
     # -- resident-data hot loop ----------------------------------------------

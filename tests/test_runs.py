@@ -71,3 +71,18 @@ def test_alias_entrypoints_wire_dataset(tmp_path, monkeypatch):
         # re-reload AFTER monkeypatch scope so the module binds the real main
         monkeypatch.undo()
         importlib.reload(alias)
+
+
+@pytest.mark.slow
+def test_gan_inference_celeba_resident_uint8(tmp_path):
+    """CelebA defaults to the resident pipeline with the dataset held as
+    raw uint8 pixels (2.5 GB at full size); the model dequantizes on
+    device, so training through the uint8 gather must work end to end."""
+    from graphical_gan_tpu.runs.gan_inference import run
+    trainer, metrics = run(
+        "celeba", "ali", iters=4, outdir=str(tmp_path), dim_g=8, dim_d=8,
+        batch_size=8, checkpoint_every=3, sample_every=3, tsne_every=0)
+    assert trainer.resident_data is not None
+    assert trainer.resident_data.dtype == np.uint8
+    assert np.isfinite(metrics["gen_cost"])
+    assert "ckpt_3.npz" in os.listdir(trainer.outf)
