@@ -52,16 +52,23 @@ def generator_factory(batch_size: int, *arrays, seed: Optional[int] = None):
     return get_epoch
 
 
-def materialize_epoch(factory):
+def materialize_epoch(factory, dtype=None):
     """Collect one full epoch from a generator factory into a single array
     (first element of tuple batches — the images; dict batches concatenate
     per key).  Used to build the on-device resident dataset for the hot loop
     (see ``data.ondevice`` / ``train.trainer``): small datasets
     (mnist/cifar10/svhn) fit in HBM whole, so the host feeds the device
-    exactly once per run."""
+    exactly once per run.
+
+    ``dtype`` casts each (array) batch as it arrives — e.g. celebA's raw
+    pixels to uint8 — so the host never holds the epoch at a wider dtype
+    (202,599 x 12,288 is 2.5 GB as uint8 but 10 GB as int32)."""
     xs = []
     for batch in factory():
-        xs.append(batch[0] if isinstance(batch, tuple) else batch)
+        b = batch[0] if isinstance(batch, tuple) else batch
+        if dtype is not None and not isinstance(b, dict):
+            b = np.asarray(b, dtype)
+        xs.append(b)
     if isinstance(xs[0], dict):
         return {k: np.concatenate([b[k] for b in xs], axis=0)
                 for k in xs[0]}

@@ -4,14 +4,17 @@ Gate semantics (``use_pallas()``):
 
 - ``GGAN_PALLAS=1`` / ``=0`` forces the paths on/off;
 - unset: OFF.  Both kernels are strictly opt-in: honest (hard-fetch-timed,
-  see BASELINE.md "measurement honesty") A/Bs against XLA measured the
-  fused BN+act kernel at 0.66x XLA on the 0.5 GB shape and ~1.0x at the
-  model-family shapes (``tools/bench_pallas.py``), and the fused conv at
-  0.92-0.99x — XLA's own fusion of these epilogues is already at or past
-  this implementation.  An earlier 1.23x result for the BN kernel was an
-  artifact of ``block_until_ready``-based timing and is retracted.  The
-  kernels remain maintained + tested (custom VJPs, interpret-mode parity)
-  as the framework's Pallas integration seam.
+  see BASELINE.md "measurement honesty") A/Bs measured the fused BN+act
+  kernel at 0.71x the PRODUCTION jnp path (``ops/norm.py`` math: jnp.mean +
+  jnp.var + normalize + act; 5.24 vs 7.37 ms at the 0.5 GB shape) and
+  0.72x an ideal one-pass-moments formulation — XLA compiles both jnp
+  variants to near-identical code — with ~1.0x at the model-family shapes
+  (``tools/bench_pallas.py`` times all three sides).  The fused conv
+  measured 0.92-0.99x.  XLA's own fusion of these epilogues is already at
+  or past this implementation; an earlier 1.23x result for the BN kernel
+  was an artifact of ``block_until_ready``-based timing and is retracted.
+  The kernels remain maintained + tested (custom VJPs, interpret-mode
+  parity) as the framework's Pallas integration seam.
 - ``enable_pallas(flag)`` overrides programmatically (used by tests).
 """
 

@@ -23,11 +23,13 @@ match the jnp reference path to f32 roundoff (see tests/test_pallas.py);
 falls back to interpret mode off TPU.
 
 Measured on one TPU v5e chip with hard-fetch-bounded timing
-(``tools/bench_pallas.py``; reproduced twice): at the 0.5 GB
-[64*64*64, 512] f32 shape this kernel runs 0.66x the XLA
-mean/var+normalize+leaky path (7.45 vs 4.90 ms/application), and ~1.0x at
-the model-family shapes — XLA's own fusion of this pattern is already at
-or past this implementation, so the kernel is strictly OPT-IN
+(``tools/bench_pallas.py``, which times the PRODUCTION jnp path of
+``ops/norm.py`` — jnp.mean + jnp.var + normalize + act — an ideal
+one-pass-moments formulation, and this kernel): at the 0.5 GB
+[64*64*64, 512] f32 shape the kernel runs 0.71x the production path
+(7.37 vs 5.24 ms/application; the ideal variant is within 2% of
+production, so XLA already compiles the two-pass jnp code optimally), and
+~1.0x at the model-family shapes — hence strictly OPT-IN
 (``GGAN_PALLAS=1``).  An earlier 1.23x result was an artifact of
 ``block_until_ready``-based timing on the relay backend (see BASELINE.md
 "measurement honesty") and is retracted.

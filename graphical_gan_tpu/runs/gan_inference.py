@@ -204,9 +204,10 @@ def run(dataset: str = "mnist", mode: str = "ali",
     resident = None
     if data_pipeline == "resident":
         from graphical_gan_tpu.data.common import materialize_epoch
-        resident = materialize_epoch(train_gen)
-        if cfg.data.normalization in ("int_pm1", "dequant", "int256_pm1"):
-            resident = resident.astype(np.uint8)  # raw pixels, 0..255
+        int_pixels = cfg.data.normalization in ("int_pm1", "dequant",
+                                                "int256_pm1")
+        resident = materialize_epoch(
+            train_gen, dtype=np.uint8 if int_pixels else None)
 
     outf = make_run_dir(outdir, f"gan_inference_{dataset}", {"MODE": mode})
     if dataset == "cifar10":

@@ -223,9 +223,10 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
     resident = None
     if data_pipeline == "resident":
         from graphical_gan_tpu.data.common import materialize_epoch
-        resident = materialize_epoch(train_gen)
-        if cfg.data.normalization in ("int_pm1", "dequant", "int256_pm1"):
-            resident = resident.astype(np.uint8)  # raw pixels, 0..255
+        int_pixels = cfg.data.normalization in ("int_pm1", "dequant",
+                                                "int256_pm1")
+        resident = materialize_epoch(
+            train_gen, dtype=np.uint8 if int_pixels else None)
 
     outf = make_run_dir(outdir, f"gmgan_inference_{dataset}",
                         {"MODE": mode, "N_COMS": cfg.n_coms})

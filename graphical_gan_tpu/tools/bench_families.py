@@ -68,7 +68,8 @@ def _measure(model, cfg, resident, items_per_image: int = 1, sampler=None):
 
     iters = N_CHUNKS * CHUNK
     images = iters * (1 + k) * cfg.batch_size * items_per_image
-    return images / best, best / iters
+    n_chips = max(1, len(jax.devices()))  # per-chip units, like bench.py
+    return images / best / n_chips, best / iters
 
 
 def bench_gmgan():

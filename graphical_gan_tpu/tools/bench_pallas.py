@@ -1,13 +1,20 @@
-"""Honest A/B of the Pallas fused BN+act kernel vs the XLA path.
+"""Honest A/B of the Pallas fused BN+act kernel vs the XLA paths.
 
-Re-measures the `ops/pallas/fused_norm.py` claim with the hard-fetch timing
-discipline (BASELINE.md "measurement honesty" — `jax.block_until_ready` is
-not honored reliably by the relay backend, so any earlier A/B timed with it
-is suspect even as a ratio).
+Measures THREE sides per shape, so the gate decision compares against what
+the framework actually runs, not an idealized baseline:
 
-Each side runs REPS independent applications per compiled program (distinct
-inputs, summed scalar output so nothing DCEs), the timed region is bounded
-by `np.asarray` fetches, best-of-N rounds.
+- ``prod``: the exact production math of ``ops/norm.py: batchnorm_act``'s
+  jnp branch — ``jnp.mean`` + ``jnp.var`` (which re-subtracts the mean) +
+  normalize + activation. This is what XLA compiles when the Pallas gate
+  is off.
+- ``ideal``: a hand-fused one-pass-moments version (var = E[x^2]-E[x]^2) —
+  the cheapest possible XLA formulation, kept as the reference point.
+- ``pallas``: ``ops/pallas/fused_norm.py: fused_batchnorm_act``.
+
+Timing discipline: hard-fetch-bounded regions (BASELINE.md "measurement
+honesty" — `jax.block_until_ready` is not honored reliably by the relay
+backend), REPS independent applications per compiled program (distinct
+inputs, summed scalar output so nothing DCEs), best-of-N rounds.
 
 Usage: python -m graphical_gan_tpu.tools.bench_pallas [--dtype float32]
 Prints one JSON line per shape.
@@ -33,6 +40,44 @@ SHAPES = [
     ("gen1", (64 * 8 * 8, 256)),
 ]
 
+EPS = 1e-5
+
+
+def _leaky(y):
+    return jnp.where(y >= 0, y, 0.2 * y)
+
+
+def _sides():
+    from graphical_gan_tpu.ops.pallas.fused_norm import fused_batchnorm_act
+
+    def prod_one(x, scale, offset):
+        # exact math of ops/norm.py batchnorm (jnp branch) + activation
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=0)
+        var = jnp.var(x32, axis=0)
+        inv = jax.lax.rsqrt(var + EPS) * scale
+        out = ((x32 - mean) * inv + offset).astype(x.dtype)
+        return jnp.sum(_leaky(out))
+
+    def ideal_one(x, scale, offset):
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=0)
+        var = jnp.mean(jnp.square(x32), axis=0) - jnp.square(mean)
+        y = (x32 - mean) * jax.lax.rsqrt(var + EPS) * scale + offset
+        return jnp.sum(_leaky(y.astype(x.dtype)))
+
+    def pallas_one(x, scale, offset):
+        return jnp.sum(fused_batchnorm_act(x, scale, offset, "leaky_relu",
+                                           EPS))
+
+    def reps(one):
+        def fn(xs, scale, offset):
+            return sum(one(xs[i], scale, offset) for i in range(xs.shape[0]))
+        return fn
+
+    return {"prod": reps(prod_one), "ideal": reps(ideal_one),
+            "pallas": reps(pallas_one)}
+
 
 def _time_fn(fn, xs, scale, offset):
     out = fn(xs, scale, offset)
@@ -48,29 +93,11 @@ def _time_fn(fn, xs, scale, offset):
 
 
 def main(argv=None):
-    from graphical_gan_tpu.ops.pallas.fused_norm import fused_batchnorm_act
-
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dtype", default="float32")
     args = p.parse_args(argv)
     dtype = jnp.dtype(args.dtype)
-
-    eps = 1e-5
-
-    def xla_side(xs, scale, offset):
-        def one(x):
-            mean = jnp.mean(x, axis=0)
-            var = jnp.mean(jnp.square(x), axis=0) - jnp.square(mean)
-            y = (x - mean) * jax.lax.rsqrt(var + eps) * scale + offset
-            return jnp.sum(jnp.where(y >= 0, y, 0.2 * y))
-
-        return sum(one(xs[i]) for i in range(xs.shape[0]))
-
-    def pallas_side(xs, scale, offset):
-        return sum(
-            jnp.sum(fused_batchnorm_act(xs[i], scale, offset, "leaky_relu",
-                                        eps))
-            for i in range(xs.shape[0]))
+    sides = {name: jax.jit(fn) for name, fn in _sides().items()}
 
     for label, (rows, c) in SHAPES:
         rng = np.random.RandomState(0)
@@ -78,18 +105,20 @@ def main(argv=None):
                          dtype)
         scale = jnp.ones((c,), jnp.float32)
         offset = jnp.zeros((c,), jnp.float32)
-        t_xla = _time_fn(jax.jit(xla_side), xs, scale, offset)
-        t_pal = _time_fn(jax.jit(pallas_side), xs, scale, offset)
+        t = {name: _time_fn(fn, xs, scale, offset)
+             for name, fn in sides.items()}
         nbytes = 2 * rows * c * xs.dtype.itemsize  # one read + one write
         print(json.dumps({
             "metric": "pallas_fused_bn_act_ab",
             "shape": label, "rows": rows, "channels": c,
             "dtype": args.dtype,
-            "xla_ms": round(t_xla * 1e3, 3),
-            "pallas_ms": round(t_pal * 1e3, 3),
-            "speedup": round(t_xla / t_pal, 3),
-            "xla_gbps": round(nbytes / t_xla / 1e9, 1),
-            "pallas_gbps": round(nbytes / t_pal / 1e9, 1),
+            "prod_ms": round(t["prod"] * 1e3, 3),
+            "ideal_ms": round(t["ideal"] * 1e3, 3),
+            "pallas_ms": round(t["pallas"] * 1e3, 3),
+            "pallas_vs_prod": round(t["prod"] / t["pallas"], 3),
+            "pallas_vs_ideal": round(t["ideal"] / t["pallas"], 3),
+            "prod_gbps": round(nbytes / t["prod"] / 1e9, 1),
+            "pallas_gbps": round(nbytes / t["pallas"] / 1e9, 1),
         }))
 
 

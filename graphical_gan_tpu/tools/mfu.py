@@ -13,9 +13,11 @@ Method:
    (e.g. a remote-compile relay) does not expose cost analysis, the program
    is re-lowered for the CPU backend in a subprocess — FLOP counts are a
    property of the HLO arithmetic, not of the executing chip.
-2. Step time is measured on the real device exactly like ``bench.py``
-   (resident data, scanned chunks, donated state, best-of-N
-   ``block_until_ready`` rounds).
+2. Step time is measured on the real device exactly like ``bench.py``:
+   resident data, scanned chunks, donated state, best-of-N rounds with the
+   timed region bounded by HARD VALUE FETCHES (``np.asarray``) — NOT
+   ``block_until_ready``, which the relay backend does not honor reliably
+   (BASELINE.md "measurement honesty").
 3. MFU = flops_per_iter / step_time / peak_flops.  Peak comes from the
    device kind (override with ``GGAN_PEAK_FLOPS``).
 

@@ -103,11 +103,12 @@ class Trainer:
         # resident mode: host array/pytree of the FULL train set; uploaded
         # once in train().  chunk_size = iterations fused per lax.scan
         # dispatch; None (default) = auto, fusing all iterations up to the
-        # next host-side event boundary (capped at 200) into ONE dispatch —
-        # the scan body compiles once regardless of trip count, and each
-        # extra dispatch costs a host round trip (expensive on relayed
-        # backends).  If a relay rejects the scanned program, the loop
-        # falls back to single-iteration dispatches.
+        # next host-side event boundary into ONE dispatch (the ever-present
+        # 100-iteration dev/flush cadence bounds this at 100) — the scan
+        # body compiles once regardless of trip count, and each extra
+        # dispatch costs a host round trip (expensive on relayed backends).
+        # If a relay rejects the scanned program, the loop falls back to
+        # single-iteration dispatches.
         self.resident_data = resident_data
         # batch_sampler(data, key, n_batches, batch_size) -> raw pytree:
         # how resident-mode iterations draw their (1+k) batches on device.
@@ -226,6 +227,16 @@ class Trainer:
             batches = prefetch_to_device(stacked_iter(), size=2)
         last: Dict = {}
         pend_m = []  # [(iteration, metric name, device scalar)]
+        try:
+            self._host_loop(iters, last, pend_m, profile_dir,
+                            profile_start, profile_steps, batches, gen)
+        finally:
+            if batches is not None:
+                batches.close()  # release worker + queued device buffers
+        return {k: float(v) for k, v in last.items()}
+
+    def _host_loop(self, iters, last, pend_m, profile_dir, profile_start,
+                   profile_steps, batches, gen):
         trace_active = False
         for iteration in range(self._start_iter, iters):
             if profile_dir and iteration == profile_start:
@@ -247,7 +258,8 @@ class Trainer:
                 pend_m.append((iteration, "train gen cost",
                                metrics["gen_cost"]))
             self.logger.plot("time", time.time() - t0)
-            last = metrics
+            last.clear()
+            last.update(metrics)
             if trace_active and iteration >= profile_start + profile_steps:
                 jax.tree.map(lambda a: a.block_until_ready(),
                              self.state.params)
@@ -283,9 +295,6 @@ class Trainer:
                 self.save(iteration)
         if trace_active:
             jax.profiler.stop_trace()
-        if batches is not None:
-            batches.close()  # release the worker + queued device buffers
-        return {k: float(v) for k, v in last.items()}
 
     # -- resident-data hot loop ----------------------------------------------
 
@@ -383,7 +392,9 @@ class Trainer:
             in_flight = None  # (n, device metrics) — 1-deep pipeline
             t0 = time.time()
             while it < target:
-                cap = 200 if self.chunk_size is None else self.chunk_size
+                # auto mode fuses the whole inter-event window (<= 100, the
+                # dev/flush cadence) into one dispatch
+                cap = 100 if self.chunk_size is None else self.chunk_size
                 n = min(cap, target - it)
                 if profile_dir and not trace_active \
                         and it + n > profile_start >= it:
@@ -480,19 +491,28 @@ class Trainer:
 
     def _build_dev_sweep(self) -> None:
         from graphical_gan_tpu.core import registry
-        batches = [b[0] if isinstance(b, tuple) else b
-                   for b in self.dev_gen_factory()]
-        stacked = jax.tree.map(
-            lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
-        nbytes = sum(x.nbytes for x in jax.tree.leaves(stacked))
         limit = int(os.environ.get("GGAN_DEV_RESIDENT_MAX",
                                    512 * 1024 * 1024))
-        if nbytes > limit:
+        # collect with a running size check so an over-limit (or synthesized-
+        # on-the-fly) dev set is abandoned early instead of fully
+        # materialized just to be discarded
+        batches, seen = [], 0
+        for b in self.dev_gen_factory():
+            x = b[0] if isinstance(b, tuple) else b
+            seen += sum(np.asarray(leaf).nbytes
+                        for leaf in jax.tree.leaves(x))
+            if seen > limit:
+                batches = None
+                break
+            batches.append(x)
+        if batches is None:
             self._dev_data = None
             # one compiled program per dev batch (shapes are uniform —
             # loaders drop remainders), built once and reused every sweep
             self._dev_fn = registry.jit_apply(self.model.gen_loss)
             return
+        stacked = jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
         if self.mesh is not None:
             from graphical_gan_tpu.parallel.mesh import replicate
             self._dev_data = replicate(self.mesh, stacked)
