@@ -168,3 +168,78 @@ def test_host_local_batches_single_process():
     assert g["x"].shape == (2, 16, 4)
     assert not g["x"].sharding.is_fully_replicated
     np.testing.assert_array_equal(np.asarray(g["y"]), local["y"])
+
+
+@pytest.mark.slow
+def test_dp_matches_single_device_gmgan():
+    """Family-2 (mixture prior, Gumbel k-sampling) DP step == single-device:
+    the per-example RNG must be generated device-count-invariantly even for
+    the discrete machinery."""
+    from graphical_gan_tpu.core.config import gmgan_defaults
+    from graphical_gan_tpu.models.gmgan import GMGanModel
+
+    model = GMGanModel(gmgan_defaults("mnist", "local_ep", dim=8,
+                                      batch_size=16, n_coms=6))
+    cfg = model.cfg
+    raw_np = np.random.RandomState(0).rand(
+        2, cfg.batch_size, 784).astype("float32")
+    key = jax.random.PRNGKey(5)
+
+    step1, init1 = make_train_step(model, donate=False)
+    s1, m1 = step1(init1(model.init(KEY)), jnp.asarray(raw_np), key,
+                   jnp.asarray(True))
+
+    mesh = make_mesh(8)
+    stepN, initN, place = make_parallel_train_step(model, mesh, donate=False)
+    sN, mN = stepN(place(initN(model.init(KEY))),
+                   shard_batch(mesh, jnp.asarray(raw_np)), key,
+                   jnp.asarray(True))
+
+    np.testing.assert_allclose(float(m1["gen_cost"]), float(mN["gen_cost"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m1["disc_cost"]),
+                               float(mN["disc_cost"]), rtol=2e-4)
+    for n in s1.params:
+        np.testing.assert_allclose(
+            np.asarray(s1.params[n]), np.asarray(sN.params[n]),
+            atol=2.5e-4, err_msg=n)
+
+
+@pytest.mark.slow
+def test_dp_matches_single_device_ssgan():
+    """Family-3 (scan chains, weighted local_ep list) DP step ==
+    single-device on the dict {'x','y'} batch pytree."""
+    from graphical_gan_tpu.core.config import ssgan_defaults
+    from graphical_gan_tpu.models.ssgan import SSGanModel
+
+    model = SSGanModel(ssgan_defaults("moving_mnist", "local_ep", dim=8,
+                                      dim_op=16, batch_size=16, seq_len=4))
+    cfg = model.cfg
+    rng = np.random.RandomState(0)
+    raw_np = {
+        "x": rng.rand(2, cfg.batch_size, cfg.seq_len,
+                      cfg.output_dim).astype("float32"),
+        "y": np.eye(cfg.n_classes, dtype=np.float32)[
+            rng.randint(0, cfg.n_classes,
+                        size=(2, cfg.batch_size))],
+    }
+    key = jax.random.PRNGKey(5)
+
+    step1, init1 = make_train_step(model, donate=False)
+    s1, m1 = step1(init1(model.init(KEY)),
+                   jax.tree.map(jnp.asarray, raw_np), key, jnp.asarray(True))
+
+    mesh = make_mesh(8)
+    stepN, initN, place = make_parallel_train_step(model, mesh, donate=False)
+    sN, mN = stepN(place(initN(model.init(KEY))),
+                   shard_batch(mesh, jax.tree.map(jnp.asarray, raw_np)), key,
+                   jnp.asarray(True))
+
+    np.testing.assert_allclose(float(m1["gen_cost"]), float(mN["gen_cost"]),
+                               rtol=5e-4)
+    np.testing.assert_allclose(float(m1["disc_cost"]),
+                               float(mN["disc_cost"]), rtol=5e-4)
+    for n in s1.params:
+        np.testing.assert_allclose(
+            np.asarray(s1.params[n]), np.asarray(sN.params[n]),
+            atol=2.5e-4, err_msg=n)
