@@ -55,21 +55,50 @@ _PEAK = {
 CHUNK = 20
 
 
-def _build(dtype: str, **overrides):
-    from graphical_gan_tpu.core.config import gan_inference_defaults
-    from graphical_gan_tpu.models.gan_inference import GanInferenceModel
-    from graphical_gan_tpu.train.step import make_train_step
-    from graphical_gan_tpu.data.ondevice import sample_batches
+def _family_model(family: str, dtype: str, **overrides):
+    if family == "gan":
+        from graphical_gan_tpu.core.config import gan_inference_defaults
+        from graphical_gan_tpu.models.gan_inference import GanInferenceModel
+        cfg = gan_inference_defaults("cifar10", "wali-gp",
+                                     compute_dtype=dtype, **overrides)
+        return cfg, GanInferenceModel(cfg)
+    if family == "gmgan":
+        from graphical_gan_tpu.core.config import gmgan_defaults
+        from graphical_gan_tpu.models.gmgan import GMGanModel
+        cfg = gmgan_defaults("cifar10", "local_ep", compute_dtype=dtype,
+                             **overrides)
+        return cfg, GMGanModel(cfg)
+    if family == "ssgan":
+        from graphical_gan_tpu.core.config import ssgan_defaults
+        from graphical_gan_tpu.models.ssgan import SSGanModel
+        cfg = ssgan_defaults("moving_mnist", "local_ep", compute_dtype=dtype,
+                             **overrides)
+        return cfg, SSGanModel(cfg)
+    raise ValueError(family)
 
-    cfg = gan_inference_defaults("cifar10", "wali-gp", compute_dtype=dtype,
-                                 **overrides)
-    model = GanInferenceModel(cfg)
+
+def _family_data(family: str, cfg, n: int = 4096):
+    rng = np.random.RandomState(0)
+    if family == "ssgan":
+        return {"x": rng.rand(n, cfg.seq_len,
+                              cfg.output_dim).astype(np.float32),
+                "y": np.eye(cfg.n_classes, dtype=np.float32)[
+                    rng.randint(0, cfg.n_classes, size=n)]}
+    return rng.randint(0, 256,
+                       size=(n, cfg.data.output_dim)).astype(np.int32)
+
+
+def _build(dtype: str, family: str = "gan", **overrides):
+    from graphical_gan_tpu.train.step import make_train_step
+    from graphical_gan_tpu.data.ondevice import sample_batches_tree
+
+    cfg, model = _family_model(family, dtype, **overrides)
     k = cfg.critic_iters
     step, init_state = make_train_step(model, jit=False)
 
     def one_iter(state, data, key):
-        raw = sample_batches(data, jax.random.fold_in(key, 7), 1 + k,
-                             cfg.batch_size)
+        raw = sample_batches_tree(data, jax.random.fold_in(key, 7), 1 + k,
+                                  cfg.batch_size)
         new_state, m = step(state, raw, key, jnp.asarray(True))
         return new_state, m["disc_cost"]
 
@@ -80,13 +109,13 @@ def _build(dtype: str, **overrides):
     return cfg, model, init_state, one_iter, chunk
 
 
-def cost_per_iter(dtype: str, **overrides) -> dict:
+def cost_per_iter(dtype: str, family: str = "gan", **overrides) -> dict:
     """XLA cost model of ONE training iteration (single-iter program, so the
     count excludes the scan wrapper): {'flops', 'bytes accessed', ...}."""
-    cfg, model, init_state, one_iter, _ = _build(dtype, **overrides)
+    cfg, model, init_state, one_iter, _ = _build(dtype, family, **overrides)
     params = model.init(jax.random.PRNGKey(0))
     state = init_state(params)
-    data = jnp.zeros((1024, cfg.data.output_dim), jnp.int32)
+    data = jax.tree.map(jnp.asarray, _family_data(family, cfg, n=1024))
     lowered = jax.jit(one_iter).lower(state, data, jax.random.PRNGKey(1))
     cost = lowered.compile().cost_analysis()
     if isinstance(cost, (list, tuple)):  # older jax returns one per device
@@ -96,11 +125,11 @@ def cost_per_iter(dtype: str, **overrides) -> dict:
     return dict(cost)
 
 
-def flops_per_iter(dtype: str, **overrides) -> float:
-    return float(cost_per_iter(dtype, **overrides)["flops"])
+def flops_per_iter(dtype: str, family: str = "gan", **overrides) -> float:
+    return float(cost_per_iter(dtype, family, **overrides)["flops"])
 
 
-def _flops_via_cpu_subprocess(dtype: str) -> float:
+def _flops_via_cpu_subprocess(dtype: str, family: str = "gan") -> float:
     """Recompute the FLOP count on the CPU backend in a fresh interpreter
     (relay backends don't return cost analysis; the HLO arithmetic — and
     hence the flop count — is the same program)."""
@@ -111,7 +140,7 @@ def _flops_via_cpu_subprocess(dtype: str) -> float:
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
         "from graphical_gan_tpu.tools.mfu import flops_per_iter;"
-        f"print('FLOPS=%r' % flops_per_iter({dtype!r}))"
+        f"print('FLOPS=%r' % flops_per_iter({dtype!r}, {family!r}))"
     )
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          cwd=os.path.dirname(os.path.dirname(os.path.dirname(
@@ -123,12 +152,14 @@ def _flops_via_cpu_subprocess(dtype: str) -> float:
     raise RuntimeError(f"no FLOPS line in subprocess output: {out.stdout!r}")
 
 
-def measure_step_time(dtype: str, rounds: int = 5) -> float:
+def measure_step_time(dtype: str, rounds: int = 5,
+                      family: str = "gan") -> float:
     """Best-of-N seconds per training iteration on the live backend."""
-    cfg, model, init_state, one_iter, chunk = _build(dtype)
+    cfg, model, init_state, one_iter, chunk = _build(dtype, family)
     state = init_state(model.init(jax.random.PRNGKey(0)))
-    data = jnp.asarray(np.random.RandomState(0).randint(
-        0, 256, size=(50_000, cfg.data.output_dim)).astype(np.int32))
+    data = jax.tree.map(jnp.asarray,
+                        _family_data(family, cfg, n=50_000
+                                     if family != "ssgan" else 2_000))
 
     if os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
         fn, n_iters = jax.jit(one_iter, donate_argnums=(0,)), 1
@@ -156,24 +187,28 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--rounds", type=int, default=5)
+    p.add_argument("--family", default="gan",
+                   choices=["gan", "gmgan", "ssgan"])
     args = p.parse_args(argv)
 
     try:
-        cost = cost_per_iter(args.dtype)
+        cost = cost_per_iter(args.dtype, args.family)
         flops_src = "device cost_analysis"
     except Exception:
-        cost = {"flops": _flops_via_cpu_subprocess(args.dtype)}
+        cost = {"flops": _flops_via_cpu_subprocess(args.dtype, args.family)}
         flops_src = "cpu-lowered cost_analysis"
     flops = float(cost["flops"])
 
-    dt = measure_step_time(args.dtype, args.rounds)
+    dt = measure_step_time(args.dtype, args.rounds, args.family)
 
     dev = jax.devices()[0]
     peak = float(os.environ.get("GGAN_PEAK_FLOPS", 0)) or \
         _PEAK.get(dev.device_kind, 0.0)
     achieved = flops / dt
     rec = {
-        "metric": "cifar10_wali_gp_mfu",
+        "metric": {"gan": "cifar10_wali_gp_mfu",
+                   "gmgan": "gmgan_cifar10_local_ep_mfu",
+                   "ssgan": "ssgan_moving_mnist_local_ep_mfu"}[args.family],
         "dtype": args.dtype,
         "flops_per_iter": flops,
         "flops_source": flops_src,
