@@ -86,3 +86,16 @@ def test_gan_inference_celeba_resident_uint8(tmp_path):
     assert trainer.resident_data.dtype == np.uint8
     assert np.isfinite(metrics["gen_cost"])
     assert "ckpt_3.npz" in os.listdir(trainer.outf)
+
+
+@pytest.mark.slow
+def test_gmgan_celeba_resident_uint8(tmp_path):
+    """gmgan's celeba path also defaults to the uint8-resident pipeline
+    (mirrors runs/gan_inference; per-component sample grids still fire)."""
+    from graphical_gan_tpu.runs.gmgan import run
+    trainer, metrics = run(
+        "celeba", "ali", iters=4, outdir=str(tmp_path), dim=8, dim_g=8,
+        dim_d=8, batch_size=8, n_coms=5, checkpoint_every=3, eval_every=3)
+    assert trainer.resident_data is not None
+    assert trainer.resident_data.dtype == np.uint8
+    assert np.isfinite(metrics["disc_cost"])
