@@ -99,3 +99,39 @@ def test_gmgan_celeba_resident_uint8(tmp_path):
     assert trainer.resident_data is not None
     assert trainer.resident_data.dtype == np.uint8
     assert np.isfinite(metrics["disc_cost"])
+
+
+def test_cli_mains_forward_flags(monkeypatch):
+    """argparse mains pass CLI flags through to run() for all three
+    parameterized entrypoints (no training: run is stubbed)."""
+    import graphical_gan_tpu.runs.gan_inference as gi
+    import graphical_gan_tpu.runs.gmgan as gm
+    import graphical_gan_tpu.runs.ssgan as ss
+
+    calls = {}
+
+    def fake(which):
+        def run(dataset, mode, **kw):
+            calls[which] = (dataset, mode, kw)
+        return run
+
+    monkeypatch.setattr(gi, "run", fake("gi"))
+    monkeypatch.setattr(gm, "run", fake("gm"))
+    monkeypatch.setattr(ss, "run", fake("ss"))
+
+    gi.main(["--dataset", "cifar10", "--mode", "wali-gp", "--iters", "7",
+             "--data-pipeline", "resident", "--compute-dtype", "bfloat16"])
+    ds, mode, kw = calls["gi"]
+    assert (ds, mode) == ("cifar10", "wali-gp")
+    assert kw["iters"] == 7 and kw["data_pipeline"] == "resident"
+    assert kw["compute_dtype"] == "bfloat16"
+
+    gm.main(["--dataset", "svhn", "--mode", "local_ep", "--n-coms", "7"])
+    ds, mode, kw = calls["gm"]
+    assert (ds, mode) == ("svhn", "local_ep") and kw["n_coms"] == 7
+
+    ss.main(["--dataset", "moving_mnist", "--mode", "local_ep",
+             "--data-pipeline", "device", "--seq-len", "8"])
+    ds, mode, kw = calls["ss"]
+    assert (ds, mode) == ("moving_mnist", "local_ep")
+    assert kw["data_pipeline"] == "device" and kw["seq_len"] == 8
