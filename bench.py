@@ -97,7 +97,7 @@ def main():
     # numbers past the chip's physical peak (BASELINE.md "physics bound").
     # A value fetch cannot lie: the bytes must exist to be copied out.
     n_dispatch = N_CHUNKS * CHUNK // iters_per_dispatch
-    best_dt = float("inf")
+    round_dts = []
     for r in range(5):
         np.asarray(c)  # drain the queue so t0 starts from an idle device
         t0 = time.perf_counter()
@@ -105,12 +105,14 @@ def main():
             state, c = run_chunk(state, data,
                                  jax.random.PRNGKey(2 + r * 97 + i))
         np.asarray(c)  # forces every prior dispatch in program order
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        round_dts.append(time.perf_counter() - t0)
+    best_dt = min(round_dts)
 
     images = n_dispatch * iters_per_dispatch * (1 + k) * cfg.batch_size
-    ips = images / best_dt
-    n_chips = max(1, len(jax.devices()))
-    per_chip = ips / n_chips
+    # The jitted step is unsharded, so it executes on ONE device regardless
+    # of how many the backend exposes — per-chip = total (do not divide by
+    # len(jax.devices()); see ADVICE r2).
+    per_chip = images / best_dt
 
     rec = {
         "metric": "cifar10_wali_gp_train_throughput",
@@ -118,6 +120,28 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / TARGET, 4),
     }
+    # Contention snapshot: driver-captured numbers vary 1.4-2x with host /
+    # relay load (BASELINE.md), so embed enough context to tell a noisy
+    # session from a regression without a human re-running it.
+    try:
+        rec["host_loadavg"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    # single-dispatch round-trip latency: a trivial program + hard fetch;
+    # dominated by host<->device link + scheduling, not compute.  High
+    # values (>> 1 ms) flag a contended relay session.
+    tiny = jax.jit(lambda x: x + 1)
+    t = jnp.zeros((), jnp.int32)
+    np.asarray(tiny(t))
+    lats = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(tiny(t))
+        lats.append(time.perf_counter() - t0)
+    rec["dispatch_latency_ms"] = round(min(lats) * 1e3, 3)
+    # spread across the 5 measurement rounds: best vs worst — a wide spread
+    # means the best-of number was carved out of a noisy session.
+    rec["round_spread"] = round(max(round_dts) / best_dt, 3)
     # Denominator for the headline (BASELINE.md "physics bound"): FLOPs from
     # XLA's own cost model + the device kind, so the recorded number is
     # interpretable even though the relay pool mixes chip generations.

@@ -120,6 +120,15 @@ class GanInferenceConfig:
     n_vis: int = 100
     # numerics
     compute_dtype: str = "float32"   # 'bfloat16' for max MXU throughput
+    # Low-byte training (HBM-roofline reduction): store live params (and
+    # optionally Adam moments) in bfloat16 with f32 master weights inside
+    # the optimizer state.  The published wali-gp step is HBM-bound at
+    # 73 FLOPs/byte, so halving param/moment traffic moves its
+    # speed-of-light, not just its utilization.
+    param_dtype: str = "float32"     # 'bfloat16' => f32 masters in opt state
+    moment_dtype: str = "float32"    # 'bfloat16' halves Adam m/v traffic
+    remat: bool = False              # recompute fwd in bwd: trades (free,
+                                     # HBM-bound) FLOPs for activation traffic
 
     @property
     def data(self) -> DataSpec:
@@ -206,6 +215,9 @@ class GMGanConfig:
     type_p: str = "no_std"
     n_vis: int = 300
     compute_dtype: str = "float32"
+    param_dtype: str = "float32"
+    moment_dtype: str = "float32"
+    remat: bool = False
 
     @property
     def data(self) -> DataSpec:
@@ -270,6 +282,9 @@ class SSGanConfig:
     dropout_rate: float = 0.2
     n_vis: int = 50
     compute_dtype: str = "float32"
+    param_dtype: str = "float32"
+    moment_dtype: str = "float32"
+    remat: bool = False
 
     @property
     def dim_latent_t(self) -> int:

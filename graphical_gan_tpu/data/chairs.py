@@ -3,12 +3,14 @@
 Loads ``chairs_{size}.npy`` of 31-frame renders; ``seq_length`` selects
 1 (flat frames), 4 (random clip), 31 (full), or a prefix
 (``tflib/chairs.py:15-34``).  Yields float [B, L, size*size*3] (or
-[B, size*size*3] for seq_length=1).
+[B, size*size*3] for seq_length=1).  ``convert_to_numpy`` is the offline
+render-png -> npy converter (``tflib/chairs.py:61-83``).
 """
 
 from __future__ import annotations
 
 import os
+from glob import glob
 from typing import Optional
 
 import numpy as np
@@ -63,3 +65,45 @@ def load(seq_length: int, batch_size: int, size: int = 64,
         _chair_generator(batch_size, seq_length, data[num_dev:], size, 1),
         _chair_generator(batch_size, seq_length, data[:num_dev], size, 2),
     )
+
+
+def center_crop(image: np.ndarray, size: int) -> np.ndarray:
+    """``tflib/chairs.py:61-64`` — fixed crop ``[140:460, 140:460]`` of a
+    600x600 render, then bilinear resize to (size, size)."""
+    from PIL import Image
+    image = image[140:460, 140:460, :]
+    img = Image.fromarray(image.astype(np.uint8)).resize(
+        (size, size), Image.BILINEAR)
+    return np.asarray(img)
+
+
+def convert_to_numpy(data_path: str, size: int = 64,
+                     out_path: Optional[str] = None) -> str:
+    """Offline render-png -> npy converter (``tflib/chairs.py:74-83``).
+
+    Globs ``*/renders/*.png`` under ``data_path`` in sorted order (the
+    rendered-chairs layout: one directory per chair, 31 azimuth frames),
+    center-crops + resizes each frame, stacks to int32
+    ``(n_chairs, 31, size, size, 3)``, and saves ``chairs_{size}.npy``
+    next to ``data_path`` (or at ``out_path``).  The loader's expected
+    on-disk layout is exactly this array (``load`` transposes to NCHW).
+    """
+    from PIL import Image
+    files = sorted(glob(os.path.join(data_path, "*", "renders", "*.png")))
+    if not files:
+        raise FileNotFoundError(
+            f"no */renders/*.png files under {data_path!r}")
+    if len(files) % 31 != 0:
+        raise ValueError(
+            f"expected a multiple of 31 frames (31 renders per chair), "
+            f"got {len(files)}")
+    frames = []
+    for f in files:
+        img = np.asarray(Image.open(f).convert("RGB"), dtype=np.float64)
+        frames.append(center_crop(img, size))
+    arr = np.asarray(frames).astype(np.int32)
+    arr = arr.reshape(-1, 31, size, size, 3)
+    if out_path is None:
+        out_path = os.path.join(data_path, f"chairs_{size}.npy")
+    np.save(out_path, arr)
+    return out_path if out_path.endswith(".npy") else out_path + ".npy"

@@ -66,8 +66,11 @@ def materialize_epoch(factory, dtype=None):
     xs = []
     for batch in factory():
         b = batch[0] if isinstance(batch, tuple) else batch
-        if dtype is not None and not isinstance(b, dict):
-            b = np.asarray(b, dtype)
+        if dtype is not None:
+            if isinstance(b, dict):
+                b = {k: np.asarray(v, dtype) for k, v in b.items()}
+            else:
+                b = np.asarray(b, dtype)
         xs.append(b)
     if isinstance(xs[0], dict):
         return {k: np.concatenate([b[k] for b in xs], axis=0)

@@ -38,16 +38,33 @@ class Optimizer:
 
 def adam(lr: float, beta1: float = 0.9, beta2: float = 0.999,
          eps: float = 1e-8,
-         lr_scale: Callable[[jax.Array], jax.Array] | None = None
-         ) -> Optimizer:
+         lr_scale: Callable[[jax.Array], jax.Array] | None = None,
+         master_weights: bool = False,
+         moment_dtype=None) -> Optimizer:
     """TF1 ``tf.train.AdamOptimizer`` semantics.  ``lr_scale(t)`` optionally
     scales the learning rate per step (the face script's linear DECAY,
-    ``gan_inference_face.py:268-269``)."""
+    ``gan_inference_face.py:268-269``).
+
+    ``master_weights=True`` is the low-byte-training mode: the LIVE params
+    may be bfloat16 (halving fwd/bwd weight reads — the step is HBM-bound),
+    while the update accumulates into f32 master copies kept here, so tiny
+    updates are never lost to bf16 rounding.  ``moment_dtype`` stores m/v at
+    a narrower dtype (the arithmetic still runs in f32 per step).
+    """
+
+    def moments_like(params):
+        # moments are f32 even when the live params are bf16 (update math
+        # runs in f32; moment_dtype narrows storage explicitly)
+        md = moment_dtype or jnp.float32
+        return jax.tree.map(lambda p: jnp.zeros(p.shape, dtype=md), params)
 
     def init(params: Params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        return {"m": zeros, "v": jax.tree.map(jnp.zeros_like, params),
-                "t": jnp.zeros((), jnp.int32)}
+        state = {"m": moments_like(params), "v": moments_like(params),
+                 "t": jnp.zeros((), jnp.int32)}
+        if master_weights:
+            state["master"] = jax.tree.map(
+                lambda p: p.astype(jnp.float32), params)
+        return state
 
     def update(grads: Params, state, params: Params):
         t = state["t"] + 1
@@ -55,44 +72,79 @@ def adam(lr: float, beta1: float = 0.9, beta2: float = 0.999,
         lr_t = lr * jnp.sqrt(1.0 - beta2 ** tf_) / (1.0 - beta1 ** tf_)
         if lr_scale is not None:
             lr_t = lr_t * lr_scale(tf_)
-        m = jax.tree.map(lambda mu, g: beta1 * mu + (1 - beta1) * g,
-                         state["m"], grads)
-        v = jax.tree.map(lambda nu, g: beta2 * nu + (1 - beta2) * g * g,
-                         state["v"], grads)
-        new_params = jax.tree.map(
-            lambda p, mu, nu: p - lr_t * mu / (jnp.sqrt(nu) + eps),
-            params, m, v)
-        return new_params, {"m": m, "v": v, "t": t}
+        f32 = jnp.float32
+        m = jax.tree.map(
+            lambda mu, g: beta1 * mu.astype(f32) + (1 - beta1) * g.astype(f32),
+            state["m"], grads)
+        v = jax.tree.map(
+            lambda nu, g: beta2 * nu.astype(f32)
+            + (1 - beta2) * jnp.square(g.astype(f32)),
+            state["v"], grads)
+        base = state.get("master", params)
+        new_base = jax.tree.map(
+            lambda p, mu, nu: p.astype(f32) - lr_t * mu / (jnp.sqrt(nu) + eps),
+            base, m, v)
+        new_params = jax.tree.map(lambda p, nb: nb.astype(p.dtype),
+                                  params, new_base)
+        if moment_dtype is not None:
+            m = jax.tree.map(lambda x: x.astype(moment_dtype), m)
+            v = jax.tree.map(lambda x: x.astype(moment_dtype), v)
+        new_state = {"m": m, "v": v, "t": t}
+        if master_weights:
+            new_state["master"] = new_base
+        return new_params, new_state
 
     return Optimizer(init, update)
 
 
-def rmsprop(lr: float, decay: float = 0.9, eps: float = 1e-10) -> Optimizer:
+def rmsprop(lr: float, decay: float = 0.9, eps: float = 1e-10,
+            master_weights: bool = False, moment_dtype=None) -> Optimizer:
     """TF1 ``tf.train.RMSPropOptimizer`` (momentum=0, centered=False).
     The second-moment accumulator starts at ONES (TF1 quirk)."""
 
     def init(params: Params):
-        return {"ms": jax.tree.map(jnp.ones_like, params)}
+        md = moment_dtype or jnp.float32
+        ms = jax.tree.map(lambda p: jnp.ones(p.shape, dtype=md), params)
+        state = {"ms": ms}
+        if master_weights:
+            state["master"] = jax.tree.map(
+                lambda p: p.astype(jnp.float32), params)
+        return state
 
     def update(grads: Params, state, params: Params):
-        ms = jax.tree.map(lambda s, g: decay * s + (1 - decay) * g * g,
-                          state["ms"], grads)
-        new_params = jax.tree.map(
-            lambda p, g, s: p - lr * g / jnp.sqrt(s + eps),
-            params, grads, ms)
-        return new_params, {"ms": ms}
+        f32 = jnp.float32
+        ms = jax.tree.map(
+            lambda s, g: decay * s.astype(f32)
+            + (1 - decay) * jnp.square(g.astype(f32)),
+            state["ms"], grads)
+        base = state.get("master", params)
+        new_base = jax.tree.map(
+            lambda p, g, s: p.astype(f32)
+            - lr * g.astype(f32) / jnp.sqrt(s + eps),
+            base, grads, ms)
+        new_params = jax.tree.map(lambda p, nb: nb.astype(p.dtype),
+                                  params, new_base)
+        if moment_dtype is not None:
+            ms = jax.tree.map(lambda x: x.astype(moment_dtype), ms)
+        new_state = {"ms": ms}
+        if master_weights:
+            new_state["master"] = new_base
+        return new_params, new_state
 
     return Optimizer(init, update)
 
 
 def make_optimizer(spec: OptSpec,
-                   lr_scale: Callable[[jax.Array], jax.Array] | None = None
-                   ) -> Optimizer:
+                   lr_scale: Callable[[jax.Array], jax.Array] | None = None,
+                   master_weights: bool = False,
+                   moment_dtype=None) -> Optimizer:
     if spec.kind == "adam":
         return adam(spec.lr, spec.beta1, spec.beta2, spec.eps,
-                    lr_scale=lr_scale)
+                    lr_scale=lr_scale, master_weights=master_weights,
+                    moment_dtype=moment_dtype)
     if spec.kind == "rmsprop":
-        return rmsprop(spec.lr)
+        return rmsprop(spec.lr, master_weights=master_weights,
+                       moment_dtype=moment_dtype)
     raise ValueError(f"unknown optimizer kind {spec.kind!r}")
 
 

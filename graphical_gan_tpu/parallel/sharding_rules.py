@@ -36,6 +36,13 @@ def _spec_for(name: str, shape, model_axis: str, mesh_size: int) -> P:
     def ok(dim_size):
         return dim_size >= _MIN_SHARD and dim_size % mesh_size == 0
 
+    if name.endswith(".Mu"):
+        # gmgan's mixture means 'Generator.Hyper.Mu' [n_coms, dim_latent]:
+        # read by BOTH the prior matmul (k @ Mu) and the posterior
+        # squared-distance logits, <= 100x256 floats — deliberately
+        # replicated (sharding either dim would all-gather it right back
+        # for the pairwise-distance broadcast).
+        return P()
     if name.endswith(".Filters") and ndim == 4:
         # Generator conv kernels are all transpose convs with layout
         # (H, W, out, in) — shard out (axis 2); everything else is a forward

@@ -260,6 +260,15 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute-dtype", default=None,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--param-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16: store live params at 2 bytes with f32 "
+                        "master weights in the optimizer (halves fwd/bwd "
+                        "weight reads — the HBM-bound step gets faster)")
+    p.add_argument("--moment-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16: store Adam m/v at 2 bytes (update "
+                        "arithmetic stays f32)")
     p.add_argument("--checkpoint-every", type=int, default=5000)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--dim", type=int, default=None)
@@ -270,7 +279,8 @@ def main(argv=None):
                         "host: per-iteration host batches (celeba default)")
     p.add_argument("--chunk-size", type=int, default=None,
                    help="iterations fused per device dispatch in resident "
-                        "mode (default 20)")
+                        "mode (default: auto — fuse up to the next "
+                        "logging/eval event boundary)")
     p.add_argument("--n-devices", type=int, default=None,
                    help="data-parallel over the first N devices (params "
                         "replicated, batch sharded over ICI)")
@@ -282,6 +292,10 @@ def main(argv=None):
         overrides["dim"] = args.dim
     if args.compute_dtype:
         overrides["compute_dtype"] = args.compute_dtype
+    if args.param_dtype:
+        overrides["param_dtype"] = args.param_dtype
+    if args.moment_dtype:
+        overrides["moment_dtype"] = args.moment_dtype
     run(args.dataset, args.mode, iters=args.iters, data_dir=args.data_dir,
         outdir=args.outdir, seed=args.seed,
         checkpoint_every=args.checkpoint_every,

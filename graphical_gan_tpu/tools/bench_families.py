@@ -68,8 +68,9 @@ def _measure(model, cfg, resident, items_per_image: int = 1, sampler=None):
 
     iters = N_CHUNKS * CHUNK
     images = iters * (1 + k) * cfg.batch_size * items_per_image
-    n_chips = max(1, len(jax.devices()))  # per-chip units, like bench.py
-    return images / best / n_chips, best / iters
+    # The jitted chunk is unsharded and executes on ONE device, so the
+    # per-chip figure is the total — never divide by len(jax.devices()).
+    return images / best, best / iters
 
 
 def bench_gmgan():

@@ -107,7 +107,12 @@ def main(argv=None):
         offset = jnp.zeros((c,), jnp.float32)
         t = {name: _time_fn(fn, xs, scale, offset)
              for name, fn in sides.items()}
-        nbytes = 2 * rows * c * xs.dtype.itemsize  # one read + one write
+        # NOMINAL traffic (one read + one write of the activation): the
+        # two-pass BN implementations actually read the input at least
+        # twice (moments + normalize), so *_nominal_gbps understates real
+        # HBM traffic and is a lower bound, comparable only as a floor.
+        # The ratio fields (pallas_vs_*) are time ratios and unaffected.
+        nbytes = 2 * rows * c * xs.dtype.itemsize
         print(json.dumps({
             "metric": "pallas_fused_bn_act_ab",
             "shape": label, "rows": rows, "channels": c,
@@ -117,8 +122,8 @@ def main(argv=None):
             "pallas_ms": round(t["pallas"] * 1e3, 3),
             "pallas_vs_prod": round(t["prod"] / t["pallas"], 3),
             "pallas_vs_ideal": round(t["ideal"] / t["pallas"], 3),
-            "prod_gbps": round(nbytes / t["prod"] / 1e9, 1),
-            "pallas_gbps": round(nbytes / t["pallas"] / 1e9, 1),
+            "prod_nominal_gbps": round(nbytes / t["prod"] / 1e9, 1),
+            "pallas_nominal_gbps": round(nbytes / t["pallas"] / 1e9, 1),
         }))
 
 

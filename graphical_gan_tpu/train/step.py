@@ -58,8 +58,20 @@ def make_train_step(model, critic_iters: Optional[int] = None,
     cfg = model.cfg
     k = cfg.critic_iters if critic_iters is None else critic_iters
     gen_spec, disc_spec = model.opt_specs()
-    gen_opt = make_optimizer(gen_spec, lr_scale=lr_scale)
-    disc_opt = make_optimizer(disc_spec, lr_scale=lr_scale) \
+    # Low-byte training (HBM-roofline reduction): with param_dtype=bfloat16
+    # the LIVE params are stored at 2 bytes (halving every fwd/bwd weight
+    # read across the 1+k sub-updates) and the optimizer keeps f32 masters;
+    # moment_dtype=bfloat16 additionally halves the Adam m/v read+write.
+    param_dtype = jnp.dtype(getattr(cfg, "param_dtype", "float32"))
+    low_byte = param_dtype != jnp.float32
+    moment_dtype = jnp.dtype(getattr(cfg, "moment_dtype", "float32"))
+    opt_kw = dict(
+        lr_scale=lr_scale,
+        master_weights=low_byte,
+        moment_dtype=None if moment_dtype == jnp.float32 else moment_dtype,
+    )
+    gen_opt = make_optimizer(gen_spec, **opt_kw)
+    disc_opt = make_optimizer(disc_spec, **opt_kw) \
         if disc_spec is not None else None
     has_disc = disc_spec is not None
 
@@ -67,6 +79,9 @@ def make_train_step(model, critic_iters: Optional[int] = None,
     disc_names = model.DISC_PLAYER
 
     def init_state(params: Params) -> TrainState:
+        if low_byte:
+            params = {n: p.astype(param_dtype) if jnp.issubdtype(
+                p.dtype, jnp.floating) else p for n, p in params.items()}
         gen_params, _ = registry.partition(params, gen_names)
         disc_params, _ = registry.partition(params, disc_names)
         return TrainState(
@@ -85,6 +100,14 @@ def make_train_step(model, critic_iters: Optional[int] = None,
         params = registry.merge(disc_params, rest)
         loss, aux = registry.apply(lambda: model.disc_loss(raw), params, key)
         return loss, aux
+
+    if getattr(cfg, "remat", False):
+        # Full rematerialization: the bwd pass recomputes the fwd instead of
+        # reading stored intermediates from HBM.  The published step is
+        # bandwidth-bound at 25-31% MFU, so the extra FLOPs are free and the
+        # dropped activation write+read traffic lowers the byte roofline.
+        gen_loss_fn = jax.checkpoint(gen_loss_fn)
+        disc_loss_fn = jax.checkpoint(disc_loss_fn)
 
     def slice_batch(raw_batches, i):
         # raw_batches is [(1+k), B, ...] — possibly a pytree (e.g. ssgan's
@@ -133,6 +156,14 @@ def make_train_step(model, critic_iters: Optional[int] = None,
                     # (tflib/objs/gan_inference.py:15-24)
                     new_disc = clip_params(new_disc, disc_spec.weight_clip,
                                            "Discriminator")
+                    if low_byte:
+                        # masters must track the clip, or they drift outside
+                        # the box and every later update re-escapes it
+                        disc_opt_state = dict(
+                            disc_opt_state,
+                            master=clip_params(disc_opt_state["master"],
+                                               disc_spec.weight_clip,
+                                               "Discriminator"))
                 params = registry.merge(params, new_disc)
                 disc_cost = loss
             metrics["disc_cost"] = disc_cost

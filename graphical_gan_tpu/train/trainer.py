@@ -370,10 +370,25 @@ class Trainer:
         except Exception as e:  # noqa: BLE001 — backend-specific errors
             if n == 1 or n in self._chunk_ok:
                 raise
-            print(f"resident chunk scan (n={n}) failed to compile "
-                  f"({type(e).__name__}); falling back to chunk_size=1")
-            self.chunk_size = 1
-            return 1, self._chunk_fn(1)(self.state, data, self.keys.next())
+            # Step DOWN through smaller chunk sizes before resorting to
+            # one-iteration dispatches: program-size-capped relays that
+            # reject a 100-iteration scan usually accept 20 (the historical
+            # default), and chunk=1 is a ~20x dispatch-overhead regression.
+            for smaller in (20, 5, 1):
+                if smaller >= n:
+                    continue
+                print(f"resident chunk scan (n={n}) failed to compile "
+                      f"({type(e).__name__}); trying chunk_size={smaller}")
+                try:
+                    out = self._chunk_fn(smaller)(self.state, data,
+                                                  self.keys.next())
+                except Exception:  # noqa: BLE001
+                    if smaller == 1:
+                        raise
+                    continue
+                self.chunk_size = smaller
+                return smaller, out
+            raise
 
     def _train_resident(self, iters, profile_dir, profile_start,
                         profile_steps) -> Dict[str, float]:

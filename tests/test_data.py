@@ -71,6 +71,34 @@ def test_svhn_celeba_chairs_fallbacks():
     assert next(iter(tr1())).shape == (2, 64 * 64 * 3)
 
 
+def test_chairs_offline_converter(tmp_path):
+    # Synthetic rendered-chairs layout: 2 chairs x 31 azimuth pngs, 600x600
+    # (the fixed [140:460,140:460] crop assumes the real renders' size).
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    for chair in ("chair_a", "chair_b"):
+        d = tmp_path / chair / "renders"
+        d.mkdir(parents=True)
+        for i in range(31):
+            img = rng.randint(0, 256, size=(600, 600, 3)).astype(np.uint8)
+            Image.fromarray(img).save(d / f"{i:03d}.png")
+    out = chairs.convert_to_numpy(str(tmp_path), size=32)
+    arr = np.load(out)
+    assert arr.shape == (2, 31, 32, 32, 3) and arr.dtype == np.int32
+    assert 0 <= arr.min() and arr.max() <= 255
+    # round-trips through the loader (which transposes to NCHW + flattens)
+    tr, te = chairs.load(31, 1, size=32, data_dir=str(tmp_path), num_dev=1,
+                         synthetic_fallback=False)
+    x = next(iter(tr()))
+    assert x.shape == (1, 31, 32 * 32 * 3)
+
+    # crop law: a render with a unique pixel at (140,140) maps it to (0,0)
+    img = np.zeros((600, 600, 3), np.uint8)
+    img[140:460, 140:460] = 7
+    cropped = chairs.center_crop(img, 32)
+    assert (cropped == 7).all()
+
+
 def test_moving_mnist_trajectory_laws():
     rng = np.random.RandomState(0)
     top, left = moving_mnist.random_trajectory(rng, 100, 16)

@@ -243,3 +243,60 @@ def test_loss_decreases_over_short_run():
         costs.append(float(m["disc_cost"]))
     assert all(np.isfinite(costs))
     assert costs[-1] < costs[0]
+
+
+def test_low_byte_step_params_bf16_and_tracks_f32():
+    """param_dtype=bfloat16 (f32 masters in the optimizer): the live params
+    are stored at 2 bytes, stay finite, and over a short run track the f32
+    training trajectory (the HBM-roofline-reduction mode of BASELINE.md)."""
+    raw_np = np.random.RandomState(0).rand(6, 4, 784).astype("float32")
+
+    def short_run(**extra):
+        cfg = tiny("mnist", "wali-gp", critic_iters=1, **extra)
+        model = GanInferenceModel(cfg)
+        step, init_state = make_train_step(model)
+        state = init_state(model.init(KEY))
+        for i in range(3):
+            raw = jnp.asarray(raw_np[2 * i:2 * i + 2])
+            state, m = step(state, raw, jax.random.PRNGKey(i),
+                            jnp.asarray(i > 0))
+        return state, m
+
+    s32, m32 = short_run()
+    s16, m16 = short_run(param_dtype="bfloat16", moment_dtype="bfloat16")
+
+    for n, p in s16.params.items():
+        assert p.dtype == jnp.bfloat16, n
+        assert np.isfinite(np.asarray(p, np.float32)).all(), n
+    # masters live in the opt state at f32
+    assert s16.gen_opt["master"][
+        "Generator.Input.W"].dtype == jnp.float32
+    # the trajectories agree to bf16 resolution after 3 updates
+    np.testing.assert_allclose(float(m16["disc_cost"]),
+                               float(m32["disc_cost"]), rtol=0.05, atol=0.05)
+    for n in s32.params:
+        np.testing.assert_allclose(
+            np.asarray(s16.params[n], np.float32), np.asarray(s32.params[n]),
+            atol=0.02, err_msg=n)
+
+
+def test_low_byte_wali_clips_masters_too():
+    """wali weight clip must apply to the f32 masters as well: otherwise the
+    master escapes the box and re-exports out-of-range bf16 params on the
+    next update."""
+    cfg = tiny("mnist", "wali", critic_iters=2, param_dtype="bfloat16")
+    model = GanInferenceModel(cfg)
+    step, init_state = make_train_step(model)
+    state = init_state(model.init(KEY))
+    raw = jnp.asarray(np.random.RandomState(0).rand(
+        3, cfg.batch_size, 784).astype("float32"))
+    for i in range(3):
+        state, _ = step(state, raw, jax.random.PRNGKey(i),
+                        jnp.asarray(i > 0))
+    for n, p in state.disc_opt["master"].items():
+        assert float(jnp.abs(p).max()) <= 0.01 + 1e-7, n
+    for n, p in state.params.items():
+        if n.startswith("Discriminator"):
+            # live copy is the bf16 ROUNDING of the clipped master: 0.01
+            # rounds up to 0.0100098 (one bf16 ulp)
+            assert float(jnp.abs(p).max()) <= 0.01 * (1 + 1 / 128), n

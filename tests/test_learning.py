@@ -66,18 +66,17 @@ def four_cluster_images(n: int, seed: int = 0):
     return imgs.reshape(n, 784).clip(0, 1), labels
 
 
-@pytest.mark.slow
-def test_gmgan_clustering_beats_chance():
-    """GMGAN on a synthetic 4-component mixture: unsupervised clustering
-    accuracy (max-prob cluster labeling, ``gmgan_inference_mnist.py:513-531``)
-    must beat chance (0.25) by a clear margin — fails on a broken posterior
-    or a broken mixture-alignment update."""
+def _gmgan_clustering_accuracy(mode_k: str, iters: int = 700,
+                               threshold: float = 0.45) -> float:
+    """Train a tiny GMGAN on the 4-cluster mixture and return unsupervised
+    clustering accuracy (max-prob cluster labeling,
+    ``gmgan_inference_mnist.py:513-531``).  Chance = 0.25."""
     from graphical_gan_tpu.core.config import gmgan_defaults
     from graphical_gan_tpu.metrics.clustering import clustering_accuracy
     from graphical_gan_tpu.models.gmgan import GMGanModel
 
     cfg = gmgan_defaults("mnist", "local_ep", dim=8, batch_size=32,
-                         dim_latent=8, n_coms=4, lr=1e-3)
+                         dim_latent=8, n_coms=4, lr=1e-3, mode_k=mode_k)
     model = GMGanModel(cfg)
     step, init_state = make_train_step(model)
     state = init_state(model.init(jax.random.PRNGKey(0)))
@@ -92,13 +91,40 @@ def test_gmgan_clustering_beats_chance():
                                jnp.asarray(data[:512])))
         return clustering_accuracy(p, labels[:512])
 
-    for i in range(700):
+    for i in range(iters):
         idx = rng.randint(0, len(data), size=(1 + k, cfg.batch_size))
         state, m = step(state, jnp.asarray(data[idx]),
                         jax.random.PRNGKey(i + 1), jnp.asarray(i > 0))
     acc = accuracy(state.params)
     assert np.isfinite(acc)
-    assert acc > 0.45, acc                # chance = 0.25
+    assert acc > threshold, (mode_k, acc)
+    return acc
+
+
+@pytest.mark.slow
+def test_gmgan_clustering_beats_chance():
+    """GMGAN (default CONCRETE Gumbel-softmax k) must beat chance by a
+    clear margin — fails on a broken posterior or mixture alignment."""
+    _gmgan_clustering_accuracy("CONCRETE")
+
+
+@pytest.mark.slow
+def test_gmgan_clustering_beats_chance_reinforce():
+    """MODE_K=REINFORCE: the hard-argmax k plus the score-function
+    surrogate (``gmgan_inference_mnist.py:152-153,355-372``,
+    ``tflib/objs/discrete_variables.py:4-8``) must still learn to cluster —
+    a wrong surrogate sign or a stop_gradient on the wrong side makes the
+    component assignment random and this fails."""
+    _gmgan_clustering_accuracy("REINFORCE", threshold=0.40)
+
+
+@pytest.mark.slow
+def test_gmgan_clustering_beats_chance_straight_through():
+    """MODE_K=STRAIGHT_THROUGHT_CONCRETE: hard one-hot forward with the
+    Gumbel-softmax gradient passed straight through
+    (``gmgan_inference_mnist.py:156-159``) — a misplaced stop_gradient
+    would zero the hyper-path gradient and the accuracy stays at chance."""
+    _gmgan_clustering_accuracy("STRAIGHT_THROUGHT_CONCRETE", threshold=0.40)
 
 
 def moving_blob_videos(n: int, seq_len: int, seed: int = 0) -> np.ndarray:

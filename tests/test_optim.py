@@ -96,3 +96,70 @@ def test_update_inside_jit():
     p1, s1 = step(p, state)
     assert np.isfinite(np.asarray(p1["w"])).all()
     assert int(s1["t"]) == 1
+
+
+def test_adam_master_weights_accumulate_tiny_updates():
+    """Low-byte mode: bf16 live params + f32 masters.  A per-step update far
+    below one bf16 ulp must still accumulate (in the master) and eventually
+    move the live bf16 value — with bf16-only state it would be lost every
+    step."""
+    opt = adam(1e-4, 0.5, 0.999, master_weights=True)
+    p = {"w": jnp.ones((4,), jnp.bfloat16)}
+    state = opt.init(p)
+    assert state["master"]["w"].dtype == jnp.float32
+
+    g = {"w": jnp.full((4,), 1e-4, jnp.bfloat16)}
+    for _ in range(200):
+        p, state = opt.update(g, state, p)
+    assert p["w"].dtype == jnp.bfloat16
+    # Adam with constant gradient moves ~lr per step; after 200 steps the
+    # master moved ~0.02 and the bf16 copy must reflect it
+    master = np.asarray(state["master"]["w"])
+    assert (master < 1.0 - 5e-3).all(), master
+    np.testing.assert_allclose(np.asarray(p["w"], np.float32), master,
+                               rtol=1e-2)
+
+
+def test_adam_master_path_matches_f32_path():
+    """With f32 params, master_weights=True must reproduce the plain path
+    exactly (masters == params at every step)."""
+    g = {"w": jnp.asarray([0.3, -0.2, 0.05])}
+    p0 = {"w": jnp.asarray([1.0, -1.0, 0.5])}
+
+    plain = adam(1e-3, 0.5, 0.999)
+    mast = adam(1e-3, 0.5, 0.999, master_weights=True)
+    p_a, s_a = p0, plain.init(p0)
+    p_b, s_b = p0, mast.init(p0)
+    for _ in range(5):
+        p_a, s_a = plain.update(g, s_a, p_a)
+        p_b, s_b = mast.update(g, s_b, p_b)
+    np.testing.assert_array_equal(np.asarray(p_a["w"]), np.asarray(p_b["w"]))
+    np.testing.assert_array_equal(np.asarray(p_b["w"]),
+                                  np.asarray(s_b["master"]["w"]))
+
+
+def test_adam_bf16_moments_stay_close_to_f32_moments():
+    rng = np.random.RandomState(0)
+    p0 = {"w": jnp.asarray(rng.randn(32).astype(np.float32))}
+    plain = adam(1e-3, 0.9, 0.999)
+    narrow = adam(1e-3, 0.9, 0.999, moment_dtype=jnp.bfloat16)
+    p_a, s_a = p0, plain.init(p0)
+    p_b, s_b = p0, narrow.init(p0)
+    assert s_b["m"]["w"].dtype == jnp.bfloat16
+    for i in range(50):
+        g = {"w": jnp.asarray(rng.randn(32).astype(np.float32))}
+        p_a, s_a = plain.update(g, s_a, p_a)
+        p_b, s_b = narrow.update(g, s_b, p_b)
+    np.testing.assert_allclose(np.asarray(p_b["w"]), np.asarray(p_a["w"]),
+                               atol=2e-4)
+
+
+def test_rmsprop_master_weights():
+    opt = rmsprop(5e-5, master_weights=True)
+    p = {"Discriminator.W": jnp.ones((3,), jnp.bfloat16)}
+    state = opt.init(p)
+    assert state["master"]["Discriminator.W"].dtype == jnp.float32
+    g = {"Discriminator.W": jnp.full((3,), 0.1, jnp.bfloat16)}
+    p1, s1 = opt.update(g, state, p)
+    assert p1["Discriminator.W"].dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(s1["master"]["Discriminator.W"])).all()
