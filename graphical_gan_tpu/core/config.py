@@ -129,6 +129,9 @@ class GanInferenceConfig:
     moment_dtype: str = "float32"    # 'bfloat16' halves Adam m/v traffic
     remat: bool = False              # recompute fwd in bwd: trades (free,
                                      # HBM-bound) FLOPs for activation traffic
+    fused_gp: bool = False           # batched [real;fake;interp] D apply for
+                                     # wali-gp — measured SLOWER on v5e (VMEM
+                                     # eviction); opt-in experiment only
 
     @property
     def data(self) -> DataSpec:

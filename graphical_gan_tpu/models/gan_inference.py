@@ -83,10 +83,30 @@ class GanInferenceModel:
         if mode in ("vegan", "vegan-wgan-gp"):
             t["disc_real"] = networks.discriminator_z(cfg, p_z)
             t["disc_fake"] = networks.discriminator_z(cfg, q_z)
+        elif mode == "wali-gp" and getattr(cfg, "fused_gp", False) \
+                and self._rowwise_disc():
+            # OPT-IN fused path: ONE batched D apply over [real; fake;
+            # interp] with a shared VJP (exact for a row-wise D) — see
+            # penalties.wali_gp_fused.  Honest A/B on a clean v5e session
+            # (BASELINE.md r3): 5.03-5.11 ms/iter vs 3.72-3.81 unfused —
+            # 35% SLOWER, because tripling the batch evicts the B=64
+            # VMEM-resident activations into HBM.  Kept as a measured
+            # negative result; default OFF.
+            t["disc_real"], t["disc_fake"], t["gp"] = penalties.wali_gp_fused(
+                lambda x, z: networks.discriminator_xz(cfg, x, z),
+                real_x, fake_x, q_z, p_z, next_rng_key(), cfg.gp_lambda)
         elif cfg.has_discriminator:
             t["disc_real"] = networks.discriminator_xz(cfg, real_x, q_z)
             t["disc_fake"] = networks.discriminator_xz(cfg, fake_x, p_z)
         return t
+
+    def _rowwise_disc(self) -> bool:
+        """True when the joint D has no batch-coupled ops (dropout is
+        identity; no BN in the cifar10/svhn/celeba D stacks), so batching
+        [real; fake; interp] through one apply is exact per row.  The mnist
+        D uses batch-stat BN (``gan_inference_mnist.py:217-252``) and must
+        keep separate 64-row applications."""
+        return self.cfg.dataset in ("cifar10", "svhn", "celeba")
 
     def _rec_penalty(self, t) -> Optional[jax.Array]:
         cfg = self.cfg
@@ -125,10 +145,13 @@ class GanInferenceModel:
         elif mode == "wali":
             g, d = objs.wali(t["disc_fake"], t["disc_real"])
         elif mode == "wali-gp":
-            gp = penalties.gradient_penalty_xz(
-                lambda x, z: networks.discriminator_xz(cfg, x, z),
-                t["real_x"], t["fake_x"], t["q_z"], t["p_z"],
-                next_rng_key(), cfg.gp_lambda)
+            if "gp" in t:          # fused row-wise path (built in _graph)
+                gp = t["gp"]
+            else:
+                gp = penalties.gradient_penalty_xz(
+                    lambda x, z: networks.discriminator_xz(cfg, x, z),
+                    t["real_x"], t["fake_x"], t["q_z"], t["p_z"],
+                    next_rng_key(), cfg.gp_lambda)
             g, d = objs.wali_gp(t["disc_fake"], t["disc_real"], gp)
         elif mode == "vegan-mmd":
             g = mmd.vegan_mmd(t["q_z"], t["p_z"], rec, cfg.lambda_)

@@ -129,7 +129,12 @@ class SSGanModel:
 
         if cfg.seq_len == 1:
             return z_l_0[:, None, :]
-        _, rest = jax.lax.scan(body, z1, None, length=cfg.seq_len - 2)
+        # unroll=True: LEN <= 31 tiny (B, dim_l) MLP steps — rolled-loop
+        # dispatch overhead dwarfs the ~7 MFLOP body, and unrolling lets XLA
+        # software-pipeline the chain against the big frame convs (the ssgan
+        # roofline-gap fix, BASELINE.md r3)
+        _, rest = jax.lax.scan(body, z1, None, length=cfg.seq_len - 2,
+                               unroll=True)
         # rest: [LEN-2, B, dl]
         chain = jnp.concatenate(
             [z_l_0[None], z1[None], rest], axis=0) if cfg.seq_len > 2 \
@@ -155,7 +160,8 @@ class SSGanModel:
                                            "Extractor.Dynamic.Backward")
                 return z_t, z_t
 
-            _, zs = jax.lax.scan(body, init, pre[:-1], reverse=True)
+            _, zs = jax.lax.scan(body, init, pre[:-1], reverse=True,
+                                 unroll=True)
             return jnp.concatenate([zs, init[None]], axis=0)  # [LEN, B, dl]
 
         def forward_chain(pre):
@@ -167,7 +173,7 @@ class SSGanModel:
                                               "Extractor.Dynamic.Forward")
                 return z_next, z_next
 
-            _, zs = jax.lax.scan(body, init, pre[1:])
+            _, zs = jax.lax.scan(body, init, pre[1:], unroll=True)
             return jnp.concatenate([init[None], zs], axis=0)
 
         if mode == "inverse":

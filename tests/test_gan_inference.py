@@ -300,3 +300,25 @@ def test_low_byte_wali_clips_masters_too():
             # live copy is the bf16 ROUNDING of the clipped master: 0.01
             # rounds up to 0.0100098 (one bf16 ulp)
             assert float(jnp.abs(p).max()) <= 0.01 * (1 + 1 / 128), n
+
+
+def test_fused_gp_knob_matches_unfused_model_level():
+    """cfg.fused_gp=True (opt-in batched-D GP) produces the same losses as
+    the default path — the RNG draw order is identical, so values agree to
+    numeric tolerance."""
+    raw = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, size=(4, 3072)).astype("int32"))
+    key = jax.random.PRNGKey(3)
+
+    def losses(**extra):
+        cfg = tiny("cifar10", "wali-gp", **extra)
+        model = GanInferenceModel(cfg)
+        params = model.init(KEY)
+        g = registry.apply(lambda: model.gen_loss(raw), params, key)[0]
+        d = registry.apply(lambda: model.disc_loss(raw), params, key)[0]
+        return float(g), float(d)
+
+    g0, d0 = losses()
+    g1, d1 = losses(fused_gp=True)
+    np.testing.assert_allclose(g1, g0, rtol=1e-5)
+    np.testing.assert_allclose(d1, d0, rtol=1e-4)

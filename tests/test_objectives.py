@@ -290,3 +290,53 @@ def test_distance():
     y = jnp.asarray([[0.0, 4.0]])
     np.testing.assert_allclose(float(penalties.distance(x, y, "l2")), 2.5)
     np.testing.assert_allclose(float(penalties.distance(x, y, "l1")), 1.5)
+
+
+def test_wali_gp_fused_matches_unfused_rowwise():
+    """penalties.wali_gp_fused (one batched D apply + shared VJP) must equal
+    the three-forward + gradient_penalty_xz formulation exactly for a
+    row-wise discriminator, including the inner d/dx-tilde gradient."""
+    import jax
+    from graphical_gan_tpu.objectives.penalties import (
+        gradient_penalty_xz, wali_gp_fused)
+
+    rng = np.random.RandomState(0)
+    w1 = jnp.asarray(rng.randn(20, 16).astype("float32") * 0.3)
+    w2 = jnp.asarray(rng.randn(16, 1).astype("float32") * 0.3)
+
+    def d_fn(x, z):
+        h = jnp.concatenate([x, z], axis=1) @ w1
+        return (jnp.tanh(h) @ w2).reshape(-1)
+
+    real_x = jnp.asarray(rng.randn(8, 12).astype("float32"))
+    fake_x = jnp.asarray(rng.randn(8, 12).astype("float32"))
+    q_z = jnp.asarray(rng.randn(8, 8).astype("float32"))
+    p_z = jnp.asarray(rng.randn(8, 8).astype("float32"))
+    key = jax.random.PRNGKey(7)
+
+    d_real, d_fake, gp = wali_gp_fused(d_fn, real_x, fake_x, q_z, p_z, key,
+                                       10.0)
+    np.testing.assert_allclose(np.asarray(d_real),
+                               np.asarray(d_fn(real_x, q_z)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_fake),
+                               np.asarray(d_fn(fake_x, p_z)), rtol=1e-6)
+    want_gp = gradient_penalty_xz(d_fn, real_x, fake_x, q_z, p_z, key, 10.0)
+    np.testing.assert_allclose(float(gp), float(want_gp), rtol=1e-5)
+
+    # double-backward (the D-update path) agrees too: d gp / d w1
+    def gp_fused_loss(w):
+        def d(x, z):
+            h = jnp.concatenate([x, z], axis=1) @ w
+            return (jnp.tanh(h) @ w2).reshape(-1)
+        return wali_gp_fused(d, real_x, fake_x, q_z, p_z, key, 10.0)[2]
+
+    def gp_unfused_loss(w):
+        def d(x, z):
+            h = jnp.concatenate([x, z], axis=1) @ w
+            return (jnp.tanh(h) @ w2).reshape(-1)
+        return gradient_penalty_xz(d, real_x, fake_x, q_z, p_z, key, 10.0)
+
+    g_f = jax.grad(gp_fused_loss)(w1)
+    g_u = jax.grad(gp_unfused_loss)(w1)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_u),
+                               rtol=2e-5, atol=1e-6)
