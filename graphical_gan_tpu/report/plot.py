@@ -34,6 +34,11 @@ class MetricLogger:
     def plot(self, name: str, value) -> None:
         self._since_last_flush[name][self._iter] = float(value)
 
+    @property
+    def pending(self) -> bool:
+        """True when plotted values have not been flushed yet."""
+        return bool(self._since_last_flush)
+
     def plot_at(self, name: str, value, iteration: int) -> None:
         """Backfill a value at an earlier tick — used by the trainer to
         drain device-side metric buffers at flush boundaries instead of

@@ -206,8 +206,10 @@ class Trainer:
         profile_steps = int(os.environ.get("GGAN_PROFILE_STEPS", "10"))
 
         if self.resident_data is not None:
-            return self._train_resident(iters, profile_dir, profile_start,
-                                        profile_steps)
+            out = self._train_resident(iters, profile_dir, profile_start,
+                                       profile_steps)
+            self._final_flush()
+            return out
 
         # Host-fed hot loop.  The (1+k)-batch stack for iteration i+1 is
         # assembled and transferred on a background thread while iteration i
@@ -233,7 +235,16 @@ class Trainer:
         finally:
             if batches is not None:
                 batches.close()  # release worker + queued device buffers
+        self._final_flush()
         return {k: float(v) for k, v in last.items()}
+
+    def _final_flush(self):
+        """Eval hooks fire AFTER the per-window flush, so values plotted at
+        the run's last event boundary (e.g. a 'testing accuracy' computed
+        at the final iteration) would otherwise never reach the logfile."""
+        if self.logger.pending:
+            self.logger.flush(self.outf, self.logfile,
+                              render=self.render_curves)
 
     def _host_loop(self, iters, last, pend_m, profile_dir, profile_start,
                    profile_steps, batches, gen):
