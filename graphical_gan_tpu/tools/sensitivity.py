@@ -91,6 +91,10 @@ def main(argv=None):
                    help="GAN dim override (None = published 64)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--param-dtype", default=None,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--moment-dtype", default=None,
+                   choices=["float32", "bfloat16"])
     p.add_argument("--n-classes", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="also write the JSON here")
@@ -98,6 +102,10 @@ def main(argv=None):
 
     t_start = time.time()
     over = {"compute_dtype": args.compute_dtype}
+    if args.param_dtype:
+        over["param_dtype"] = args.param_dtype
+    if args.moment_dtype:
+        over["moment_dtype"] = args.moment_dtype
     if args.dim:
         over["dim"] = args.dim
     if args.batch_size:
@@ -175,6 +183,8 @@ def main(argv=None):
         "n_score": args.n_score,
         "config": {"dim": cfg.dim, "batch_size": cfg.batch_size,
                    "mode": cfg.mode, "compute_dtype": cfg.compute_dtype,
+                   "param_dtype": cfg.param_dtype,
+                   "moment_dtype": cfg.moment_dtype,
                    "n_classes": args.n_classes},
         "wall_s": round(time.time() - t_start, 1),
     }
