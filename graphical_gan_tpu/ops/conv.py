@@ -159,10 +159,18 @@ def deconv2d(name: str, input_dim: int, output_dim: int, filter_size: int,
         norms = jnp.sqrt(jnp.sum(jnp.square(w), axis=(0, 1, 3)))
         w = w * (g / norms)[None, None, :, None]
 
-    out = lax.conv_transpose(
-        x, w.astype(x.dtype), strides=(stride, stride), padding=padding,
-        dimension_numbers=_DN2D, transpose_kernel=True,
-    )
+    from graphical_gan_tpu.ops.phase_deconv import (use_phase_deconv,
+                                                    conv_transpose_phase)
+    if stride == 2 and padding == "SAME" and use_phase_deconv():
+        # Exact rewrite: one stride-1 conv over the 2x2 output-phase
+        # sub-kernels + depth-to-space, avoiding the input-dilated lowering
+        # (3/4 structural-zero MACs).  See ops/phase_deconv.py.
+        out = conv_transpose_phase(x, w.astype(x.dtype))
+    else:
+        out = lax.conv_transpose(
+            x, w.astype(x.dtype), strides=(stride, stride), padding=padding,
+            dimension_numbers=_DN2D, transpose_kernel=True,
+        )
 
     if biases:
         b = param(name + ".Biases", inits.zeros((output_dim,)))
