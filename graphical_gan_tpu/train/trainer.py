@@ -128,9 +128,12 @@ class Trainer:
         self.render_curves = render_curves
         self.keys = KeyStream(seed)
         self.logger = MetricLogger()
-        self.checkpoint_every = checkpoint_every
+        # a non-positive cadence means "disabled" (callers pass e.g.
+        # eval_every=0) — drop it here so the `% every` checks never see 0
+        self.checkpoint_every = max(0, checkpoint_every or 0)
         self.checkpoints_to_keep = checkpoints_to_keep
-        self.eval_hooks = eval_hooks or {}
+        self.eval_hooks = {e: h for e, h in (eval_hooks or {}).items()
+                           if e > 0}
         self.state = None
         self._start_iter = 0
         self._dev_fn = None
@@ -279,7 +282,8 @@ class Trainer:
 
             boundary = (iteration < 5 or iteration % 100 == 99
                         or iteration == iters - 1
-                        or (iteration % self.checkpoint_every
+                        or (self.checkpoint_every > 0
+                            and iteration % self.checkpoint_every
                             == self.checkpoint_every - 1)
                         or any(iteration % e == e - 1
                                for e in self.eval_hooks))
@@ -301,7 +305,8 @@ class Trainer:
                 if iteration % every == every - 1:
                     hook(self, iteration)
 
-            if (iteration % self.checkpoint_every
+            if (self.checkpoint_every > 0
+                    and iteration % self.checkpoint_every
                     == self.checkpoint_every - 1) or iteration == iters - 1:
                 self.save(iteration)
         if trace_active:
@@ -478,7 +483,8 @@ class Trainer:
             for every, hook in self.eval_hooks.items():
                 if iteration % every == every - 1:
                     hook(self, iteration)
-            if (iteration % self.checkpoint_every
+            if (self.checkpoint_every > 0
+                    and iteration % self.checkpoint_every
                     == self.checkpoint_every - 1) or iteration == iters - 1:
                 self.save(iteration)
         if trace_active:
