@@ -39,6 +39,7 @@ import jax.numpy as jnp
 
 from graphical_gan_tpu.core import registry
 from graphical_gan_tpu.core.config import SSGanConfig
+from graphical_gan_tpu.core.shard_ctx import constrain_frames
 from graphical_gan_tpu.core.registry import next_rng_key
 from graphical_gan_tpu.models.common import normalize_input
 from graphical_gan_tpu.objectives import gan_inference as objs
@@ -201,7 +202,8 @@ class SSGanModel:
             lab = jnp.tile(labels[:, None, :], (1, L, 1))
             parts.append(lab.astype(zg.dtype))
             in_dim += cfg.n_classes
-        z = jnp.concatenate(parts, axis=-1).reshape(b * L, in_dim)
+        z = constrain_frames(
+            jnp.concatenate(parts, axis=-1).reshape(b * L, in_dim))
 
         dim = cfg.dim
         h = linear("Generator.Input", in_dim, 4 * 4 * 8 * dim, z)
@@ -221,8 +223,9 @@ class SSGanModel:
         cfg = self.cfg
         b, L = x.shape[0], cfg.seq_len
         hgt, wdt = cfg.image_hw
-        h = unflatten_image(x.reshape(b * L, cfg.output_dim), cfg.channels,
-                            hgt, wdt)
+        h = constrain_frames(
+            unflatten_image(x.reshape(b * L, cfg.output_dim), cfg.channels,
+                            hgt, wdt))
         dim = cfg.dim
         h = conv2d("Extractor.1", cfg.channels, dim, 5, h,
                               stride=2, act="leaky_relu")
@@ -273,8 +276,9 @@ class SSGanModel:
         b, L = x.shape[0], cfg.seq_len
         hgt, wdt = cfg.image_hw
         dr = cfg.dropout_rate
-        h = unflatten_image(x.reshape(b * L, cfg.output_dim), cfg.channels,
-                            hgt, wdt)
+        h = constrain_frames(
+            unflatten_image(x.reshape(b * L, cfg.output_dim), cfg.channels,
+                            hgt, wdt))
         dim = cfg.dim
 
         zg = jnp.tile(z_g[:, None, :], (1, L, 1))
@@ -284,7 +288,8 @@ class SSGanModel:
             lab3 = jnp.tile(labels[:, None, :], (1, L, 1)).astype(zg.dtype)
             parts.append(lab3)
             zdim += cfg.n_classes
-        z = jnp.concatenate(parts, axis=-1).reshape(b * L, zdim)
+        z = constrain_frames(
+            jnp.concatenate(parts, axis=-1).reshape(b * L, zdim))
 
         h = conv2d("Discriminator.1", cfg.channels, dim, 5, h,
                               stride=2, act="leaky_relu")
@@ -375,8 +380,9 @@ class SSGanModel:
             h = h.reshape(b, feat)
         elif cfg.ali_mode == "concat_z":
             # per-frame conv then concat (``:452-498``)
-            h = unflatten_image(x.reshape(b * L, cfg.output_dim),
-                                cfg.channels, hgt, wdt)
+            h = constrain_frames(
+                unflatten_image(x.reshape(b * L, cfg.output_dim),
+                                cfg.channels, hgt, wdt))
             h = conv2d("Discriminator.1", cfg.channels, dim, 5, h,
                                   stride=2, act="leaky_relu")
             h = dropout(h, dr)

@@ -8,3 +8,7 @@ from graphical_gan_tpu.parallel.sharding_rules import (
     make_tp_train_step,
     tp_param_shardings,
 )
+from graphical_gan_tpu.parallel.sequence import (
+    make_sp_train_step,
+    video_batch_spec,
+)

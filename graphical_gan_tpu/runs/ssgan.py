@@ -104,6 +104,11 @@ def make_eval_hook(model, fixed_dev):
         rec = rec_j(params, jax.random.PRNGKey(1), jnp.asarray(dev_x),
                     jnp.asarray(dev_y) if dev_y is not None else None)
         rec = (np.asarray(rec) + 1.0) / 2.0
+        # quantitative recon quality on the fixed dev batch, display space
+        # [0,1] — the scalar counterpart of the reference's qualitative
+        # recon grids (``ssgan_inference_moving_mnist.py:590-602``)
+        trainer.logger.plot("dev rec l2",
+                            float(np.mean((dev_x_disp - rec) ** 2)))
         inter = np.stack([dev_x_disp, rec], axis=1).reshape(
             -1, cfg.seq_len, cfg.output_dim)
         _vis(cfg, trainer.outf, inter, iteration, 2 * dev_x.shape[0],
