@@ -12,3 +12,4 @@ from graphical_gan_tpu.parallel.sequence import (
     make_sp_train_step,
     video_batch_spec,
 )
+from graphical_gan_tpu.parallel.composed import make_composed_train_step
