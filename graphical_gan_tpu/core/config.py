@@ -129,6 +129,11 @@ class GanInferenceConfig:
     moment_dtype: str = "float32"    # 'bfloat16' halves Adam m/v traffic
     remat: bool = False              # recompute fwd in bwd: trades (free,
                                      # HBM-bound) FLOPs for activation traffic
+    accum_steps: int = 1             # grad accumulation: split each
+                                     # sub-update's batch into this many
+                                     # scanned microbatches (one optimizer
+                                     # update with the averaged grad) —
+                                     # large effective batch in bounded HBM
     fused_gp: bool = False           # batched [real;fake;interp] D apply for
                                      # wali-gp — measured SLOWER on v5e (VMEM
                                      # eviction); opt-in experiment only
@@ -221,6 +226,7 @@ class GMGanConfig:
     param_dtype: str = "float32"
     moment_dtype: str = "float32"
     remat: bool = False
+    accum_steps: int = 1
 
     @property
     def data(self) -> DataSpec:
@@ -288,6 +294,7 @@ class SSGanConfig:
     param_dtype: str = "float32"
     moment_dtype: str = "float32"
     remat: bool = False
+    accum_steps: int = 1
 
     @property
     def dim_latent_t(self) -> int:

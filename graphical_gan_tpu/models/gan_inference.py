@@ -161,10 +161,13 @@ class GanInferenceModel:
             p_mean = jnp.zeros((cfg.z_samples, cfg.dim_latent))
             p_std = jnp.ones((cfg.z_samples, cfg.dim_latent))
             key = next_rng_key()
+            # batch size from the runtime shape (== cfg.batch_size in the
+            # published path; the per-microbatch size under accum_steps>1)
+            b = t["q_z_mean"].shape[0]
             if mode == "vegan-kl":
                 g = kl_aggregated.vegan_kl(
                     key, t["q_z_mean"], t["q_z_std"], p_mean, p_std, rec,
-                    cfg.z_samples, cfg.batch_size, cfg.dim_latent, cfg.lambda_)
+                    cfg.z_samples, b, cfg.dim_latent, cfg.lambda_)
             elif mode == "vegan-ikl":
                 g = kl_aggregated.vegan_ikl(
                     key, t["q_z_mean"], t["q_z_std"], p_mean, p_std, rec,
@@ -172,7 +175,7 @@ class GanInferenceModel:
             else:
                 g = kl_aggregated.vegan_jsd(
                     key, t["q_z_mean"], t["q_z_std"], p_mean, p_std, rec,
-                    cfg.z_samples, cfg.batch_size, cfg.dim_latent, cfg.lambda_)
+                    cfg.z_samples, b, cfg.dim_latent, cfg.lambda_)
             d = None
         elif mode == "vae":
             p_z_mean = jnp.zeros_like(t["q_z_mean"])

@@ -269,6 +269,11 @@ def main(argv=None):
                    choices=["float32", "bfloat16"],
                    help="bfloat16: store Adam m/v at 2 bytes (update "
                         "arithmetic stays f32)")
+    p.add_argument("--accum-steps", type=int, default=None,
+                   help="gradient accumulation: split each sub-update's "
+                        "batch into N scanned microbatches with one "
+                        "averaged optimizer update — large effective batch "
+                        "in bounded HBM (batch_size must divide by N)")
     p.add_argument("--checkpoint-every", type=int, default=5000)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--dim", type=int, default=None)
@@ -296,6 +301,8 @@ def main(argv=None):
         overrides["param_dtype"] = args.param_dtype
     if args.moment_dtype:
         overrides["moment_dtype"] = args.moment_dtype
+    if args.accum_steps:
+        overrides["accum_steps"] = args.accum_steps
     run(args.dataset, args.mode, iters=args.iters, data_dir=args.data_dir,
         outdir=args.outdir, seed=args.seed,
         checkpoint_every=args.checkpoint_every,

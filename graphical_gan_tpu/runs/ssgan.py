@@ -221,6 +221,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute-dtype", default=None,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--accum-steps", type=int, default=None,
+                   help="gradient accumulation (scanned microbatches, one "
+                        "averaged update; batch_size must divide by N)")
     p.add_argument("--checkpoint-every", type=int, default=5000)
     p.add_argument("--data-pipeline", default="host",
                    choices=["resident", "host", "device"])
@@ -232,6 +235,8 @@ def main(argv=None):
         overrides["seq_len"] = args.seq_len
     if args.compute_dtype:
         overrides["compute_dtype"] = args.compute_dtype
+    if args.accum_steps:
+        overrides["accum_steps"] = args.accum_steps
     run(args.dataset, args.mode, iters=args.iters, data_dir=args.data_dir,
         outdir=args.outdir, seed=args.seed,
         checkpoint_every=args.checkpoint_every,

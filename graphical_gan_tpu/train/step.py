@@ -36,6 +36,65 @@ from graphical_gan_tpu.optim import clip_params, make_optimizer
 Params = Dict[str, jax.Array]
 
 
+def accumulate_value_and_grad(loss_fn, accum: int):
+    """Microbatched ``value_and_grad``: grad accumulation inside the step.
+
+    The reference trains at small published batches (50-128); on TPU the
+    batch-512 headroom row (BASELINE.md) shows larger batches lift MFU, and
+    grad accumulation makes large EFFECTIVE batches fit bounded HBM: the raw
+    [B, ...] batch splits into ``accum`` microbatches scanned sequentially —
+    ``lax.scan`` keeps only one microbatch's activations live at a time — and
+    the optimizer applies ONE update with the averaged gradient.
+
+    Semantics: exact for the mean-over-samples losses (every gan_inference /
+    gmgan / ssgan objective, including the per-sample gradient penalties);
+    batch-COUPLED terms (batchnorm batch stats, the dormant MMD kernel,
+    MiniBatchLayer) see microbatch statistics — the standard accumulation
+    trade-off, documented in docs/scaling.md.  Each microbatch draws its own
+    RNG (``fold_in(key, j)``), matching how the reference would see
+    ``accum`` independently-sampled half-batches.
+
+    Gradients accumulate in f32 regardless of param dtype (bf16 partial sums
+    would lose low-order bits across microbatches) and are cast back to each
+    leaf's gradient dtype for the optimizer.
+
+    Returns ``fn(player_params, rest, key, raw) -> ((loss, aux), grads)``
+    with ``aux=None`` (the fused step discards aux).
+    """
+    base = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def run(player_params, rest, key, raw):
+        def split(a):
+            if a.shape[0] % accum:
+                raise ValueError(
+                    f"batch dim {a.shape[0]} not divisible by "
+                    f"accum_steps={accum}")
+            return a.reshape((accum, a.shape[0] // accum) + a.shape[1:])
+
+        micro = jax.tree.map(split, raw)
+        keys = jax.vmap(lambda j: jax.random.fold_in(key, j))(
+            jnp.arange(accum))
+
+        def body(carry, inp):
+            raw_j, key_j = inp
+            (loss, _), grads = base(player_params, rest, key_j, raw_j)
+            loss_sum, grad_sum = carry
+            grad_sum = jax.tree.map(
+                lambda s, g: s + g.astype(jnp.float32), grad_sum, grads)
+            return (loss_sum + loss.astype(jnp.float32), grad_sum), None
+
+        zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                             player_params)
+        (loss_sum, grad_sum), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), zeros), (micro, keys))
+        inv = jnp.float32(1.0 / accum)
+        grads = jax.tree.map(
+            lambda g, p: (g * inv).astype(p.dtype), grad_sum, player_params)
+        return (loss_sum * inv, None), grads
+
+    return run
+
+
 class TrainState(NamedTuple):
     params: Params
     gen_opt: Any
@@ -101,6 +160,11 @@ def make_train_step(model, critic_iters: Optional[int] = None,
         loss, aux = registry.apply(lambda: model.disc_loss(raw), params, key)
         return loss, aux
 
+    accum = int(getattr(cfg, "accum_steps", 1) or 1)
+    if accum > 1 and cfg.batch_size % accum != 0:
+        raise ValueError(f"batch_size={cfg.batch_size} not divisible by "
+                         f"accum_steps={accum}")
+
     if getattr(cfg, "remat", False):
         # Full rematerialization: the bwd pass recomputes the fwd instead of
         # reading stored intermediates from HBM.  The published step is
@@ -108,6 +172,15 @@ def make_train_step(model, critic_iters: Optional[int] = None,
         # dropped activation write+read traffic lowers the byte roofline.
         gen_loss_fn = jax.checkpoint(gen_loss_fn)
         disc_loss_fn = jax.checkpoint(disc_loss_fn)
+
+    if accum > 1:
+        gen_vag = accumulate_value_and_grad(gen_loss_fn, accum)
+        disc_vag = accumulate_value_and_grad(disc_loss_fn, accum) \
+            if has_disc else None
+    else:
+        gen_vag = jax.value_and_grad(gen_loss_fn, has_aux=True)
+        disc_vag = jax.value_and_grad(disc_loss_fn, has_aux=True) \
+            if has_disc else None
 
     def slice_batch(raw_batches, i):
         # raw_batches is [(1+k), B, ...] — possibly a pytree (e.g. ssgan's
@@ -125,9 +198,8 @@ def make_train_step(model, critic_iters: Optional[int] = None,
         g_key = jax.random.fold_in(key, 0)
 
         def do_g(_):
-            (loss, aux), grads = jax.value_and_grad(
-                gen_loss_fn, has_aux=True)(gen_params, rest_g, g_key,
-                                           slice_batch(raw_batches, 0))
+            (loss, aux), grads = gen_vag(gen_params, rest_g, g_key,
+                                         slice_batch(raw_batches, 0))
             new_gen, new_opt = gen_opt.update(grads, gen_opt_state, gen_params)
             return new_gen, new_opt, loss
 
@@ -146,9 +218,8 @@ def make_train_step(model, critic_iters: Optional[int] = None,
             for i in range(k):
                 disc_params, rest_d = registry.partition(params, disc_names)
                 d_key = jax.random.fold_in(key, 1 + i)
-                (loss, aux), grads = jax.value_and_grad(
-                    disc_loss_fn, has_aux=True)(disc_params, rest_d, d_key,
-                                                slice_batch(raw_batches, 1 + i))
+                (loss, aux), grads = disc_vag(
+                    disc_params, rest_d, d_key, slice_batch(raw_batches, 1 + i))
                 new_disc, disc_opt_state = disc_opt.update(
                     grads, disc_opt_state, disc_params)
                 if disc_spec.weight_clip is not None:
