@@ -1,0 +1,181 @@
+"""Serving export: trained samplers as portable compiled artifacts.
+
+The reference has no deployment story at all — it writes one end-of-run
+checkpoint and ships no restore code (``gan_inference_cifar10.py:415,
+498-499``).  ``tools/generate.py`` closed the restore gap; this module closes
+the SERVING gap the TPU-native way: ``jax.export`` serializes the sampler —
+StableHLO + the trained weights baked in as constants — into one
+self-contained blob that any JAX process can deserialize and run **without
+this framework installed**, on any platform it was lowered for (TPU serving
+fleet, CPU canary) and on any accelerator topology, because the program
+carries its own lowering rather than Python code.
+
+Artifacts (written to ``<run_dir>/export/`` by default):
+
+- ``sampler.jaxexport`` — the serialized Exported blob; callers do
+  ``jax.export.deserialize(blob).call(key, *inputs)``
+- ``manifest.json`` — family, input names/shapes/dtypes, checkpoint
+  iteration, lowering platforms, and the display-space transform for the
+  outputs (families emit [-1, 1] or [0, 1] — see ``display`` field)
+
+Per family the exported callable is ``f(key, *inputs) -> images``:
+
+- gan_inference: ``f(key, noise[n, dim_latent])``
+- gmgan:         ``f(key, k_onehot[n, n_coms], noise[n, dim_latent])``
+- ssgan:         ``f(key, z_l_0[n, dim_l], z_g[n, dim_g][, labels])``
+
+The batch dim ``n`` is exported SYMBOLIC (``jax.export.symbolic_shape``)
+when possible, so one artifact serves any request size; if a model's
+tracing rejects symbolic batch, the export falls back to the fixed example
+size and the manifest records it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from graphical_gan_tpu.core import registry
+
+
+def make_sampler(family: str, model) -> Tuple:
+    """(fn, example_inputs) for the family's generator-side serving entry.
+
+    ``fn(params, key, *inputs) -> images`` is pure (no global state); the
+    export binds ``params`` as baked-in constants.
+    """
+    cfg = model.cfg
+    n = cfg.batch_size
+    if family == "gan_inference":
+        def fn(params, key, noise):
+            return registry.apply(lambda: model.sample(noise), params, key)
+        example = (jnp.zeros((n, cfg.dim_latent), jnp.float32),)
+    elif family == "gmgan":
+        def fn(params, key, k_onehot, noise):
+            return registry.apply(lambda: model.sample(k_onehot, noise),
+                                  params, key)
+        example = (jnp.zeros((n, cfg.n_coms), jnp.float32),
+                   jnp.zeros((n, cfg.dim_latent), jnp.float32))
+    elif family == "ssgan":
+        def fn(params, key, z_l_0, z_g, *labels):
+            return registry.apply(
+                lambda: model.sample(z_l_0, z_g,
+                                     labels[0] if labels else None),
+                params, key)
+        example = (jnp.zeros((n, cfg.dim_latent_l), jnp.float32),
+                   jnp.zeros((n, cfg.dim_latent_g), jnp.float32))
+        if cfg.conditional:
+            example += (jnp.zeros((n, cfg.n_classes), jnp.float32),)
+    else:
+        raise ValueError(f"unknown family {family!r}")
+    return fn, example
+
+
+def _arg_specs(example, symbolic: bool):
+    """ShapeDtypeStructs for the sampler inputs, batch dim symbolic if asked."""
+    if not symbolic:
+        return [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in example]
+    (b,) = jax_export.symbolic_shape("b")
+    return [jax.ShapeDtypeStruct((b,) + a.shape[1:], a.dtype)
+            for a in example]
+
+
+def export_sampler(run_dir: str, ckpt: Optional[str] = None,
+                   out: Optional[str] = None,
+                   platforms: Sequence[str] = ("tpu", "cpu"),
+                   symbolic_batch: bool = True) -> dict:
+    """Export a run directory's trained sampler to a serving artifact."""
+    from graphical_gan_tpu.tools.generate import rebuild, restore_state
+    from graphical_gan_tpu.train import checkpoint as ckpt_lib
+
+    family, cfg, model = rebuild(run_dir)
+    path = ckpt or ckpt_lib.latest(run_dir)
+    if path is None:
+        raise FileNotFoundError(f"no ckpt_*.npz under {run_dir}")
+    state, extra = restore_state(model, path)
+    params = state.params
+
+    fn, example = make_sampler(family, model)
+
+    def serving_fn(key, *inputs):
+        return fn(params, key, *inputs)
+
+    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    jitted = jax.jit(serving_fn)
+    exported = None
+    used_symbolic = False
+    if symbolic_batch:
+        try:
+            exported = jax_export.export(jitted, platforms=list(platforms))(
+                key_spec, *_arg_specs(example, symbolic=True))
+            used_symbolic = True
+        except Exception:
+            exported = None  # fall back to the fixed example batch
+    if exported is None:
+        exported = jax_export.export(jitted, platforms=list(platforms))(
+            key_spec, *_arg_specs(example, symbolic=False))
+
+    outf = out or os.path.join(run_dir, "export")
+    os.makedirs(outf, exist_ok=True)
+    blob_path = os.path.join(outf, "sampler.jaxexport")
+    with open(blob_path, "wb") as f:
+        f.write(exported.serialize())
+
+    display = {"unit": "x", "unit_pm1": "(x+1)/2", "int_pm1": "(x+1)/2",
+               "dequant": "(x+1)/2", "int256_pm1": "(x+1)/2"}
+    norm = (cfg.data.normalization if hasattr(cfg, "data")
+            else getattr(cfg, "normalization", "unit"))
+    manifest = {
+        "family": family,
+        "iteration": int(extra.get("iteration", -1)),
+        "checkpoint": os.path.basename(path),
+        "platforms": list(platforms),
+        "symbolic_batch": used_symbolic,
+        "inputs": [{"shape": list(a.shape), "dtype": str(a.dtype)}
+                   for a in example],
+        "key": "jax.random.PRNGKey (uint32[2])",
+        "output_to_display": display.get(norm, "x"),
+    }
+    man_path = os.path.join(outf, "manifest.json")
+    with open(man_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return {"blob": blob_path, "manifest": man_path, **manifest}
+
+
+def load_sampler(blob_path: str):
+    """Deserialize an exported sampler; returns ``call(key, *inputs)``.
+
+    Pure ``jax.export`` — works in a process that never imports this
+    framework (the artifact is self-contained).
+    """
+    with open(blob_path, "rb") as f:
+        blob = f.read()
+    return jax_export.deserialize(bytearray(blob)).call
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--out", default=None)
+    p.add_argument("--platforms", default="tpu,cpu",
+                   help="comma-separated lowering platforms")
+    p.add_argument("--fixed-batch", action="store_true",
+                   help="export at the config batch size instead of a "
+                        "symbolic batch dim")
+    args = p.parse_args(argv)
+    info = export_sampler(args.run_dir, ckpt=args.ckpt, out=args.out,
+                          platforms=tuple(args.platforms.split(",")),
+                          symbolic_batch=not args.fixed_batch)
+    print(json.dumps(info))
+
+
+if __name__ == "__main__":
+    main()
