@@ -205,6 +205,9 @@ def make_train_step(model, critic_iters: Optional[int] = None,
 
         def skip_g(_):
             loss, _ = gen_loss_fn(gen_params, rest_g, g_key, slice_batch(raw_batches, 0))
+            if accum > 1:
+                # the accumulated branch carries its loss in f32; match it
+                loss = loss.astype(jnp.float32)
             return gen_params, gen_opt_state, loss
 
         new_gen, gen_opt_state, gen_cost = jax.lax.cond(do_gen, do_g, skip_g,

@@ -34,8 +34,13 @@ def test_dryrun_reexecs_off_non_cpu_platform():
     # NOT registered (PALLAS_AXON_POOL_IPS unset) so any attempt to actually
     # initialize that backend would raise — passing proves the parent never
     # touched it and re-execed into a CPU child instead.
+    # GGAN_DRYRUN_QUICK: the mechanism under test is the re-exec, asserted
+    # via the family-1 dp/tp lines — no need to compile all seven programs
+    # (the full set runs in the driver's own dryrun and blew this test's
+    # subprocess timeout under a loaded host)
     res = _run_dryrun(8, {"JAX_PLATFORMS": "axon",
                           "PALLAS_AXON_POOL_IPS": "",
+                          "GGAN_DRYRUN_QUICK": "1",
                           "XLA_FLAGS": ""})
     assert res.returncode == 0, res.stderr[-2000:]
     assert "dp: " in res.stdout and " ok" in res.stdout
