@@ -43,7 +43,7 @@ def make_composed_train_step(model, mesh: Mesh,
                              data_axis: Optional[str] = "data",
                              seq_axis: Optional[str] = None,
                              model_axis: Optional[str] = None,
-                             donate: bool = True):
+                             donate: bool = True, lr_scale=None):
     """Jit the fused step over ``mesh`` with any of DP/SP/TP active.
 
     Every named axis must exist in ``mesh``; divisibility requirements are
@@ -60,7 +60,7 @@ def make_composed_train_step(model, mesh: Mesh,
                              f"missing {ax!r}")
 
     raw_step, init_state = make_train_step(model, critic_iters=critic_iters,
-                                           jit=False)
+                                           lr_scale=lr_scale, jit=False)
     repl = NamedSharding(mesh, P())
 
     def batch_constraint(x):

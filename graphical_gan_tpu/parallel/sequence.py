@@ -61,7 +61,7 @@ def video_batch_spec(ndim: int, data_axis: str = "data",
 def make_sp_train_step(model, mesh: Mesh,
                        critic_iters: Optional[int] = None,
                        data_axis: str = "data", seq_axis: str = "seq",
-                       donate: bool = True):
+                       donate: bool = True, lr_scale=None):
     """Jit the fused ssgan step over a 2-D (data, seq) mesh.
 
     Batch dim sharded over ``data``, frame dim over ``seq``, params
@@ -79,7 +79,7 @@ def make_sp_train_step(model, mesh: Mesh,
     from graphical_gan_tpu.train.step import make_train_step
 
     raw_step, init_state = make_train_step(model, critic_iters=critic_iters,
-                                           jit=False)
+                                           lr_scale=lr_scale, jit=False)
     repl = NamedSharding(mesh, P())
 
     def batch_constraint(x):

@@ -80,7 +80,7 @@ def tp_param_shardings(params: Params, mesh: Mesh,
 
 def make_tp_train_step(model, mesh: Mesh, critic_iters: Optional[int] = None,
                        data_axis: str = "data", model_axis: str = "model",
-                       donate: bool = True):
+                       donate: bool = True, lr_scale=None):
     """Jit the fused step over a 2-D (data, model) mesh: batch sharded over
     ``data``, params channel-sharded over ``model`` per
     ``tp_param_shardings``; XLA inserts both the DP psum and the TP
@@ -92,7 +92,7 @@ def make_tp_train_step(model, mesh: Mesh, critic_iters: Optional[int] = None,
     from graphical_gan_tpu.train.step import make_train_step
 
     raw_step, init_state = make_train_step(model, critic_iters=critic_iters,
-                                           jit=False)
+                                           lr_scale=lr_scale, jit=False)
     repl = NamedSharding(mesh, P())
 
     def batch_constraint(x):

@@ -44,12 +44,42 @@ def _loaders(cfg, data_dir: Optional[str]):
     raise ValueError(cfg.dataset)
 
 
-def _maybe_mesh(n_devices: Optional[int]):
-    """Data-parallel mesh over the first n devices (None/1 = single-chip)."""
-    if not n_devices or n_devices <= 1:
+def _maybe_mesh(n_devices: Optional[int], parallel: str = "dp",
+                mesh_shape: Optional[str] = None):
+    """Mesh for the requested strategy (None/1 device = single-chip).
+
+    ``mesh_shape``: for tp/sp a "d,m" pair (data x model / data x seq); for
+    composed a named spec like "data=2,seq=2,model=2".  Defaults: dp = 1-D
+    over n_devices; tp/sp = 2 x (n_devices/2).
+    """
+    if mesh_shape is None and (not n_devices or n_devices <= 1):
         return None
     from graphical_gan_tpu.parallel.mesh import make_mesh
-    return make_mesh(n_devices)
+    if parallel == "dp":
+        return make_mesh(n_devices)
+    import numpy as _np
+    import jax as _jax
+    from jax.sharding import Mesh
+    if mesh_shape and "=" in mesh_shape:
+        pairs = [kv.split("=") for kv in mesh_shape.split(",")]
+        axes = tuple(kk for kk, _ in pairs)
+        dims = tuple(int(v) for _, v in pairs)
+    else:
+        axes = {"tp": ("data", "model"), "sp": ("data", "seq")}.get(parallel)
+        if axes is None:
+            raise ValueError(
+                f"--parallel {parallel} needs a named --mesh-shape "
+                f"(e.g. data=2,seq=2,model=2)")
+        if mesh_shape:
+            dims = tuple(int(v) for v in mesh_shape.split(","))
+        else:
+            dims = (2, (n_devices or len(_jax.devices())) // 2)
+    need = int(_np.prod(dims))
+    devs = _jax.devices()
+    if need > len(devs):
+        raise ValueError(f"mesh {dims} needs {need} devices, "
+                         f"{len(devs)} visible")
+    return Mesh(_np.asarray(devs[:need]).reshape(dims), axes)
 
 
 def _grid_hw(cfg):
@@ -187,7 +217,8 @@ def run(dataset: str = "mnist", mode: str = "ali",
         checkpoint_every: int = 5000, checkpoints_to_keep: int = 3, sample_every: Optional[int] = None,
         tsne_every: int = 50000, inception_every: int = 10000,
         data_pipeline: Optional[str] = None, chunk_size: Optional[int] = None,
-        n_devices: Optional[int] = None, **overrides):
+        n_devices: Optional[int] = None, parallel: str = "dp",
+        mesh_shape: Optional[str] = None, **overrides):
     cfg = gan_inference_defaults(dataset, mode, **overrides)
     model = GanInferenceModel(cfg)
     train_gen, dev_gen = _loaders(cfg, data_dir)
@@ -243,7 +274,7 @@ def run(dataset: str = "mnist", mode: str = "ali",
         lr_scale=(lambda t: jnp.maximum(0.0, 1.0 - t / cfg.iters))
         if cfg.decay else None,
         resident_data=resident, chunk_size=chunk_size,
-        mesh=_maybe_mesh(n_devices),
+        mesh=_maybe_mesh(n_devices, parallel, mesh_shape), parallel=parallel,
     )
     metrics = trainer.train(iters)
     return trainer, metrics
@@ -289,6 +320,15 @@ def main(argv=None):
     p.add_argument("--n-devices", type=int, default=None,
                    help="data-parallel over the first N devices (params "
                         "replicated, batch sharded over ICI)")
+    p.add_argument("--parallel", default="dp",
+                   choices=["dp", "tp", "sp", "composed"],
+                   help="parallel strategy over the mesh: dp (batch), tp "
+                        "(channel sharding, data x model mesh), sp (video "
+                        "frame axis, data x seq mesh), composed (any axis "
+                        "subset)")
+    p.add_argument("--mesh-shape", default=None,
+                   help="mesh dims: 'd,m' for tp/sp, or named "
+                        "'data=2,seq=2,model=2' for composed")
     args = p.parse_args(argv)
     overrides = {}
     if args.batch_size:
@@ -307,7 +347,8 @@ def main(argv=None):
         outdir=args.outdir, seed=args.seed,
         checkpoint_every=args.checkpoint_every,
         data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
-        n_devices=args.n_devices, **overrides)
+        n_devices=args.n_devices, parallel=args.parallel,
+        mesh_shape=args.mesh_shape, **overrides)
 
 
 if __name__ == "__main__":

@@ -237,7 +237,8 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
         outdir: str = "result", seed: int = 0, checkpoint_every: int = 5000, checkpoints_to_keep: int = 3,
         eval_every: int = 5000, data_pipeline: Optional[str] = None,
         chunk_size: Optional[int] = None,
-        n_devices: Optional[int] = None, **overrides):
+        n_devices: Optional[int] = None, parallel: str = "dp",
+        mesh_shape: Optional[str] = None, **overrides):
     cfg = gmgan_defaults(dataset, mode, **overrides)
     model = GMGanModel(cfg)
     train_gen, dev_gen, test_gen = _loaders(cfg, data_dir)
@@ -277,7 +278,8 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
                       checkpoints_to_keep=checkpoints_to_keep,
                       eval_hooks={eval_every: combined},
                       resident_data=resident, chunk_size=chunk_size,
-                      mesh=_maybe_mesh(n_devices))
+                      mesh=_maybe_mesh(n_devices, parallel, mesh_shape),
+                      parallel=parallel)
     metrics = trainer.train(iters)
     # final-iteration 4-way TSNE scatters (gmgan_inference_mnist.py:534-551)
     if dataset != "celeba":
@@ -312,6 +314,9 @@ def main(argv=None):
                    choices=["resident", "host"])
     p.add_argument("--chunk-size", type=int, default=None)
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--parallel", default="dp",
+                   choices=["dp", "tp", "sp", "composed"])
+    p.add_argument("--mesh-shape", default=None)
     args = p.parse_args(argv)
     overrides = {"mode_k": args.mode_k}
     if args.n_coms:
@@ -324,7 +329,8 @@ def main(argv=None):
         outdir=args.outdir, seed=args.seed,
         checkpoint_every=args.checkpoint_every,
         data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
-        n_devices=args.n_devices, **overrides)
+        n_devices=args.n_devices, parallel=args.parallel,
+        mesh_shape=args.mesh_shape, **overrides)
 
 
 if __name__ == "__main__":

@@ -148,7 +148,8 @@ def run(dataset: str = "moving_mnist", mode: str = "local_ep",
         outdir: str = "result", seed: int = 0,
         checkpoint_every: int = 5000, checkpoints_to_keep: int = 3, eval_every: int = 5000,
         data_pipeline: str = "host", chunk_size: Optional[int] = None,
-        n_devices: Optional[int] = None, **overrides):
+        n_devices: Optional[int] = None, parallel: str = "dp",
+        mesh_shape: Optional[str] = None, **overrides):
     cfg = ssgan_defaults(dataset, mode, **overrides)
     model = SSGanModel(cfg)
     train_gen, dev_gen = _loaders(cfg, data_dir)
@@ -196,7 +197,8 @@ def run(dataset: str = "moving_mnist", mode: str = "local_ep",
                                                              fixed_dev)},
                       resident_data=resident, chunk_size=chunk_size,
                       batch_sampler=sampler,
-                      mesh=_maybe_mesh(n_devices))
+                      mesh=_maybe_mesh(n_devices, parallel, mesh_shape),
+                      parallel=parallel)
     # param counts need an initialized state
     if trainer.state is None and not trainer.try_resume():
         trainer.state = trainer.init_state(
@@ -229,6 +231,9 @@ def main(argv=None):
                    choices=["resident", "host", "device"])
     p.add_argument("--chunk-size", type=int, default=None)
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--parallel", default="dp",
+                   choices=["dp", "tp", "sp", "composed"])
+    p.add_argument("--mesh-shape", default=None)
     args = p.parse_args(argv)
     overrides = {"pos_mode": args.pos_mode, "ali_mode": args.ali_mode}
     if args.seq_len:
@@ -241,7 +246,8 @@ def main(argv=None):
         outdir=args.outdir, seed=args.seed,
         checkpoint_every=args.checkpoint_every,
         data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
-        n_devices=args.n_devices, **overrides)
+        n_devices=args.n_devices, parallel=args.parallel,
+        mesh_shape=args.mesh_shape, **overrides)
 
 
 if __name__ == "__main__":

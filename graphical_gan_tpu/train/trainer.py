@@ -71,7 +71,8 @@ class Trainer:
                  eval_hooks: Optional[Dict[int, Callable]] = None,
                  lr_scale=None,
                  resident_data=None, chunk_size: Optional[int] = None,
-                 mesh=None, render_curves: Optional[bool] = None,
+                 mesh=None, parallel: str = "dp",
+                 render_curves: Optional[bool] = None,
                  batch_sampler: Optional[Callable] = None):
         self.model = model
         self.cfg = model.cfg
@@ -86,16 +87,41 @@ class Trainer:
             else critic_iters
         self._raw_step, self.init_state = make_train_step(
             model, critic_iters=self.k, lr_scale=lr_scale, jit=False)
-        # mesh: data-parallel training over a jax.sharding.Mesh with a
-        # 'data' axis — params/opt state replicated, batch axis sharded,
-        # XLA inserts the per-player psum over ICI (parallel/mesh.py).
+        # mesh + parallel: training over a jax.sharding.Mesh with the named
+        # strategy — 'dp' (1-D 'data' axis: batch sharded, params
+        # replicated), 'tp' (2-D data x model: channel sharding rules),
+        # 'sp' (2-D data x seq: the video frame axis sharded), or
+        # 'composed' (any subset of data/seq/model axes present in the
+        # mesh).  XLA GSPMD inserts every collective (parallel/*.py).
         # Works for both the host-fed and the resident hot loops; the
         # global batch size must divide the data-axis size.
         self.mesh = mesh
+        self.parallel = parallel if mesh is not None else "dp"
         if mesh is not None:
-            from graphical_gan_tpu.parallel.mesh import (
-                make_parallel_train_step)
-            self.step_fn, _, self._place = make_parallel_train_step(
+            if parallel == "dp":
+                from graphical_gan_tpu.parallel.mesh import (
+                    make_parallel_train_step as factory)
+            elif parallel == "tp":
+                from graphical_gan_tpu.parallel.sharding_rules import (
+                    make_tp_train_step as factory)
+            elif parallel == "sp":
+                from graphical_gan_tpu.parallel.sequence import (
+                    make_sp_train_step as factory)
+            elif parallel == "composed":
+                from graphical_gan_tpu.parallel.composed import (
+                    make_composed_train_step)
+
+                def factory(model, mesh, critic_iters, lr_scale):
+                    return make_composed_train_step(
+                        model, mesh, critic_iters=critic_iters,
+                        lr_scale=lr_scale,
+                        data_axis="data" if "data" in mesh.shape else None,
+                        seq_axis="seq" if "seq" in mesh.shape else None,
+                        model_axis="model" if "model" in mesh.shape
+                        else None)
+            else:
+                raise ValueError(f"unknown parallel strategy {parallel!r}")
+            self.step_fn, _, self._place = factory(
                 model, mesh, critic_iters=self.k, lr_scale=lr_scale)
         else:
             self.step_fn = jax.jit(self._raw_step, donate_argnums=(0,))
@@ -326,26 +352,45 @@ class Trainer:
         from graphical_gan_tpu.data.ondevice import sample_batches_tree
         sampler = self.batch_sampler or sample_batches_tree
         raw_step, k, bs = self._raw_step, self.k, self.cfg.batch_size
-        mesh = self.mesh
+        mesh, parallel = self.mesh, self.parallel
+        has_seq = mesh is not None and parallel in ("sp", "composed") \
+            and "seq" in mesh.shape
 
         def constrain(raw):
             if mesh is None:
                 return raw
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            def c(x):  # [(1+k), B, ...] — shard the batch dim over 'data'
+            def c(x):  # [(1+k), B, ...] — shard the batch dim over 'data';
+                # 4-D video leaves additionally shard LEN over 'seq'
                 spec = [None] * x.ndim
-                spec[1] = "data"
+                if "data" in mesh.shape:
+                    spec[1] = "data"
+                if has_seq and x.ndim == 4:
+                    spec[2] = "seq"
                 return jax.lax.with_sharding_constraint(
                     x, NamedSharding(mesh, P(*spec)))
 
             return jax.tree.map(c, raw)
+
+        def fold_constraint(h):
+            # folded [B*LEN, ...] frame tensors partition over the
+            # (data, seq) product pair — see parallel/sequence.py
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = [None] * h.ndim
+            spec[0] = ("data", "seq") if "data" in mesh.shape else "seq"
+            return jax.lax.with_sharding_constraint(
+                h, NamedSharding(mesh, P(*spec)))
 
         def chunk(state, data, base_key):
             def body(st, kk):
                 raw = sampler(data, jax.random.fold_in(kk, 7), 1 + k, bs)
                 # skip the G update only at global iteration 0
                 # (gan_inference_cifar10.py:433) — state.step is authoritative
+                if has_seq:
+                    from graphical_gan_tpu.core import shard_ctx
+                    with shard_ctx.frame_constraint(fold_constraint):
+                        return raw_step(st, constrain(raw), kk, st.step > 0)
                 return raw_step(st, constrain(raw), kk, st.step > 0)
 
             keys = jax.random.split(base_key, n)
@@ -353,6 +398,14 @@ class Trainer:
 
         if mesh is None:
             fn = jax.jit(chunk, donate_argnums=(0,))
+        elif parallel in ("tp", "composed"):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            # state arrives pre-placed by _place (params channel-sharded
+            # under TP) — leave its shardings inferred; dataset + key
+            # replicated, sampled batch re-sharded by the constraint
+            fn = jax.jit(chunk, in_shardings=(None, repl, repl),
+                         donate_argnums=(0,))
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(mesh, P())
