@@ -95,6 +95,10 @@ def main(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--moment-dtype", default=None,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--accum-steps", type=int, default=None,
+                   help="gradient accumulation — validates that microbatch "
+                        "semantics (incl. BN batch stats over B/N) preserve "
+                        "the learned-quality curve")
     p.add_argument("--n-classes", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="also write the JSON here")
@@ -110,6 +114,8 @@ def main(argv=None):
         over["dim"] = args.dim
     if args.batch_size:
         over["batch_size"] = args.batch_size
+    if args.accum_steps:
+        over["accum_steps"] = args.accum_steps
     cfg = gan_inference_defaults("cifar10", "wali-gp", **over)
     h, w = cfg.data.image_hw
     c = cfg.data.channels
@@ -185,6 +191,7 @@ def main(argv=None):
                    "mode": cfg.mode, "compute_dtype": cfg.compute_dtype,
                    "param_dtype": cfg.param_dtype,
                    "moment_dtype": cfg.moment_dtype,
+                   "accum_steps": cfg.accum_steps,
                    "n_classes": args.n_classes},
         "wall_s": round(time.time() - t_start, 1),
     }
