@@ -45,12 +45,15 @@ def test_export_roundtrip_and_symbolic_batch(tmp_path):
     model = GanInferenceModel(cfg)
     run_dir, state = _run_dir(tmp_path, cfg, model, "gan_run")
 
-    info = export_sampler(run_dir, platforms=("cpu",))
+    # multi-platform artifact: lowered for the TPU serving fleet AND the
+    # CPU canary; this test executes the cpu lowering
+    info = export_sampler(run_dir, platforms=("tpu", "cpu"))
     assert os.path.exists(info["blob"])
     with open(info["manifest"]) as f:
         manifest = json.load(f)
     assert manifest["family"] == "gan_inference"
     assert manifest["iteration"] == 7
+    assert manifest["platforms"] == ["tpu", "cpu"]
 
     call = load_sampler(info["blob"])
     key = jax.random.PRNGKey(0)
