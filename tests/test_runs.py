@@ -120,18 +120,26 @@ def test_cli_mains_forward_flags(monkeypatch):
     monkeypatch.setattr(ss, "run", fake("ss"))
 
     gi.main(["--dataset", "cifar10", "--mode", "wali-gp", "--iters", "7",
-             "--data-pipeline", "resident", "--compute-dtype", "bfloat16"])
+             "--data-pipeline", "resident", "--compute-dtype", "bfloat16",
+             "--accum-steps", "4", "--parallel", "tp",
+             "--mesh-shape", "4,2"])
     ds, mode, kw = calls["gi"]
     assert (ds, mode) == ("cifar10", "wali-gp")
     assert kw["iters"] == 7 and kw["data_pipeline"] == "resident"
     assert kw["compute_dtype"] == "bfloat16"
+    assert kw["accum_steps"] == 4
+    assert kw["parallel"] == "tp" and kw["mesh_shape"] == "4,2"
 
-    gm.main(["--dataset", "svhn", "--mode", "local_ep", "--n-coms", "7"])
+    gm.main(["--dataset", "svhn", "--mode", "local_ep", "--n-coms", "7",
+             "--accum-steps", "2"])
     ds, mode, kw = calls["gm"]
     assert (ds, mode) == ("svhn", "local_ep") and kw["n_coms"] == 7
+    assert kw["accum_steps"] == 2
 
     ss.main(["--dataset", "moving_mnist", "--mode", "local_ep",
-             "--data-pipeline", "device", "--seq-len", "8"])
+             "--data-pipeline", "device", "--seq-len", "8",
+             "--parallel", "sp", "--mesh-shape", "2,4"])
     ds, mode, kw = calls["ss"]
     assert (ds, mode) == ("moving_mnist", "local_ep")
     assert kw["data_pipeline"] == "device" and kw["seq_len"] == 8
+    assert kw["parallel"] == "sp" and kw["mesh_shape"] == "2,4"
