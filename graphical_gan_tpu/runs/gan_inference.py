@@ -218,7 +218,8 @@ def run(dataset: str = "mnist", mode: str = "ali",
         tsne_every: int = 50000, inception_every: int = 10000,
         data_pipeline: Optional[str] = None, chunk_size: Optional[int] = None,
         n_devices: Optional[int] = None, parallel: str = "dp",
-        mesh_shape: Optional[str] = None, **overrides):
+        mesh_shape: Optional[str] = None, run_dir: Optional[str] = None,
+        **overrides):
     cfg = gan_inference_defaults(dataset, mode, **overrides)
     model = GanInferenceModel(cfg)
     train_gen, dev_gen = _loaders(cfg, data_dir)
@@ -240,7 +241,11 @@ def run(dataset: str = "mnist", mode: str = "ali",
         resident = materialize_epoch(
             train_gen, dtype=np.uint8 if int_pixels else None)
 
-    outf = make_run_dir(outdir, f"gan_inference_{dataset}", {"MODE": mode})
+    # --run-dir: reuse an existing run directory — the Trainer resumes
+    # from its latest checkpoint (the reference never restored a checkpoint;
+    # tflib's Saver was write-only)
+    outf = run_dir or make_run_dir(outdir, f"gan_inference_{dataset}",
+                                   {"MODE": mode})
     if dataset == "cifar10":
         # fixed seed-1234 test-set reconstruction batch
         # (tflib/cifar10.py:14-19; gan_inference_cifar10.py:400-404)
@@ -329,6 +334,10 @@ def main(argv=None):
     p.add_argument("--mesh-shape", default=None,
                    help="mesh dims: 'd,m' for tp/sp, or named "
                         "'data=2,seq=2,model=2' for composed")
+    p.add_argument("--run-dir", default=None,
+                   help="reuse an existing run directory and resume from "
+                        "its latest checkpoint (default: create a new "
+                        "timestamped dir under --outdir)")
     args = p.parse_args(argv)
     overrides = {}
     if args.batch_size:
@@ -348,7 +357,7 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
         n_devices=args.n_devices, parallel=args.parallel,
-        mesh_shape=args.mesh_shape, **overrides)
+        mesh_shape=args.mesh_shape, run_dir=args.run_dir, **overrides)
 
 
 if __name__ == "__main__":

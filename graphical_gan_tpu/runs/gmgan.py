@@ -238,7 +238,8 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
         eval_every: int = 5000, data_pipeline: Optional[str] = None,
         chunk_size: Optional[int] = None,
         n_devices: Optional[int] = None, parallel: str = "dp",
-        mesh_shape: Optional[str] = None, **overrides):
+        mesh_shape: Optional[str] = None, run_dir: Optional[str] = None,
+        **overrides):
     cfg = gmgan_defaults(dataset, mode, **overrides)
     model = GMGanModel(cfg)
     train_gen, dev_gen, test_gen = _loaders(cfg, data_dir)
@@ -255,8 +256,8 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
         resident = materialize_epoch(
             train_gen, dtype=np.uint8 if int_pixels else None)
 
-    outf = make_run_dir(outdir, f"gmgan_inference_{dataset}",
-                        {"MODE": mode, "N_COMS": cfg.n_coms})
+    outf = run_dir or make_run_dir(outdir, f"gmgan_inference_{dataset}",
+                                   {"MODE": mode, "N_COMS": cfg.n_coms})
     fixed_dev = next(iter(dev_gen()))
     if isinstance(fixed_dev, tuple):
         fixed_dev = fixed_dev[0]
@@ -317,6 +318,9 @@ def main(argv=None):
     p.add_argument("--parallel", default="dp",
                    choices=["dp", "tp", "sp", "composed"])
     p.add_argument("--mesh-shape", default=None)
+    p.add_argument("--run-dir", default=None,
+                   help="reuse an existing run dir; resume from its latest "
+                        "checkpoint")
     args = p.parse_args(argv)
     overrides = {"mode_k": args.mode_k}
     if args.n_coms:
@@ -330,7 +334,7 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
         n_devices=args.n_devices, parallel=args.parallel,
-        mesh_shape=args.mesh_shape, **overrides)
+        mesh_shape=args.mesh_shape, run_dir=args.run_dir, **overrides)
 
 
 if __name__ == "__main__":

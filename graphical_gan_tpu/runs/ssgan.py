@@ -149,14 +149,15 @@ def run(dataset: str = "moving_mnist", mode: str = "local_ep",
         checkpoint_every: int = 5000, checkpoints_to_keep: int = 3, eval_every: int = 5000,
         data_pipeline: str = "host", chunk_size: Optional[int] = None,
         n_devices: Optional[int] = None, parallel: str = "dp",
-        mesh_shape: Optional[str] = None, **overrides):
+        mesh_shape: Optional[str] = None, run_dir: Optional[str] = None,
+        **overrides):
     cfg = ssgan_defaults(dataset, mode, **overrides)
     model = SSGanModel(cfg)
     train_gen, dev_gen = _loaders(cfg, data_dir)
 
-    outf = make_run_dir(outdir, f"ssgan_inference_{dataset}",
-                        {"MODE": mode, "ALI_MODE": cfg.ali_mode,
-                         "LEN": cfg.seq_len})
+    outf = run_dir or make_run_dir(outdir, f"ssgan_inference_{dataset}",
+                                   {"MODE": mode, "ALI_MODE": cfg.ali_mode,
+                                    "LEN": cfg.seq_len})
     fixed_dev = next(iter(dev_gen()))
 
     # Three input pipelines for ssgan:
@@ -234,6 +235,9 @@ def main(argv=None):
     p.add_argument("--parallel", default="dp",
                    choices=["dp", "tp", "sp", "composed"])
     p.add_argument("--mesh-shape", default=None)
+    p.add_argument("--run-dir", default=None,
+                   help="reuse an existing run dir; resume from its latest "
+                        "checkpoint")
     args = p.parse_args(argv)
     overrides = {"pos_mode": args.pos_mode, "ali_mode": args.ali_mode}
     if args.seq_len:
@@ -247,7 +251,7 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
         n_devices=args.n_devices, parallel=args.parallel,
-        mesh_shape=args.mesh_shape, **overrides)
+        mesh_shape=args.mesh_shape, run_dir=args.run_dir, **overrides)
 
 
 if __name__ == "__main__":
