@@ -579,23 +579,39 @@ class Trainer:
         limit = int(os.environ.get("GGAN_DEV_RESIDENT_MAX",
                                    512 * 1024 * 1024))
         # collect with a running size check so an over-limit (or synthesized-
-        # on-the-fly) dev set is abandoned early instead of fully
-        # materialized just to be discarded
-        batches, seen = [], 0
+        # on-the-fly) dev set stops materializing at the cap.  An over-limit
+        # dev set keeps the within-limit PREFIX as a fixed resident subset:
+        # sweeping the full epoch per-batch costs a host synthesis + a
+        # host->device upload + a dispatch round trip per batch per sweep —
+        # measured ~2 min/sweep for moving-mnist's 2.6 GB dev epoch over the
+        # relay (~3 s/iter amortized at the 100-iter cadence, 200x the
+        # step itself).  GGAN_DEV_FULL_SWEEP=1 restores the reference-
+        # faithful full-epoch sweep (gan_inference_cifar10.py:456-477).
+        batches, seen, truncated = [], 0, False
         for b in self.dev_gen_factory():
             x = b[0] if isinstance(b, tuple) else b
-            seen += sum(np.asarray(leaf).nbytes
-                        for leaf in jax.tree.leaves(x))
-            if seen > limit:
-                batches = None
+            nb = sum(np.asarray(leaf).nbytes
+                     for leaf in jax.tree.leaves(x))
+            if seen + nb > limit:
+                truncated = True
+                if os.environ.get("GGAN_DEV_FULL_SWEEP"):
+                    batches = None
                 break
             batches.append(x)
-        if batches is None:
+            seen += nb
+        if not batches:
             self._dev_data = None
             # one compiled program per dev batch (shapes are uniform —
             # loaders drop remainders), built once and reused every sweep
             self._dev_fn = registry.jit_apply(self.model.gen_loss)
             return
+        if truncated:
+            msg = (f"dev sweep: resident subset of {len(batches)} batches "
+                   f"(~{seen >> 20} MiB cap; set GGAN_DEV_FULL_SWEEP=1 for "
+                   f"the full per-batch epoch sweep)")
+            print(msg)
+            with open(self.logfile, "a") as f:
+                f.write(msg + "\n")
         stacked = jax.tree.map(
             lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
         if self.mesh is not None:

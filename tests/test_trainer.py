@@ -157,6 +157,29 @@ def test_dev_sweep_is_jitted_no_retrace(tmp_path):
     assert tr._dev_fn._cache_size() == 1
 
 
+def test_dev_sweep_over_limit_keeps_resident_prefix(tmp_path, monkeypatch):
+    """A dev set over GGAN_DEV_RESIDENT_MAX keeps the within-limit PREFIX
+    resident (fixed subset, one scanned dispatch per sweep) instead of
+    re-feeding the whole epoch from the host every 100 iters; the full
+    per-batch epoch sweep stays available via GGAN_DEV_FULL_SWEEP=1."""
+    # dev set = 2 batches of 8x784 f32 = ~50 KB; cap below that
+    monkeypatch.setenv("GGAN_DEV_RESIDENT_MAX", str(30 * 1024))
+    tr = make_trainer(tmp_path / "subset")
+    tr.train(iters=2, resume=False)
+    tr._dev_sweep()
+    assert tr._dev_data is not None
+    n_res = jax.tree.leaves(tr._dev_data)[0].shape[0]
+    assert n_res == 1  # one 25 KB batch fits, the second would exceed
+    with open(tr.logfile) as f:
+        assert "resident subset" in f.read()
+
+    monkeypatch.setenv("GGAN_DEV_FULL_SWEEP", "1")
+    tr2 = make_trainer(tmp_path / "full")
+    tr2.train(iters=2, resume=False)
+    tr2._dev_sweep()  # per-batch sweep runs without error
+    assert tr2._dev_data is None  # reference-faithful per-batch path
+
+
 def test_metric_classifier_learns():
     from graphical_gan_tpu.metrics.jax_classifier import MetricClassifier
     # trivially separable 2-class problem: constant-intensity images
