@@ -34,11 +34,37 @@ def binarize_labels(y: np.ndarray, n_c: int) -> np.ndarray:
     return out
 
 
+def _structured_pool(cfg, n: int, seed: int):
+    """LEARNABLE digit pool for zero-egress hosts (mirrors gmgan's
+    ``--data-dir structured``): 28x28 oriented-pattern classes from
+    ``data.synthetic.structured_images_labeled``.  The offline-MNIST
+    fallback pool is i.i.d. NOISE squares, whose texture is incompressible
+    through the 8-dim latent chain — reconstruction L2 then measures only
+    the unlearnable part.  With a structured pool the videos are learnable
+    end to end (position dynamics AND appearance)."""
+    from graphical_gan_tpu.data import synthetic
+    from graphical_gan_tpu.data.moving_mnist import DIGIT_SIZE
+    n_cls = cfg.n_classes or 10
+    flat, y = synthetic.structured_images_labeled(
+        n, (DIGIT_SIZE, DIGIT_SIZE), 1, n_cls, seed)
+    return (flat / 255.0).astype(np.float32).reshape(
+        n, DIGIT_SIZE, DIGIT_SIZE), y
+
+
 def _loaders(cfg, data_dir: Optional[str]):
     from graphical_gan_tpu import data
     if cfg.dataset == "moving_mnist":
-        train, test = data.moving_mnist.load_video(cfg.seq_len,
-                                                   cfg.batch_size)
+        if data_dir == "structured":
+            from graphical_gan_tpu.data.moving_mnist import _video_generator
+            tr_x, tr_y = _structured_pool(cfg, 20000, seed=0)
+            te_x, te_y = _structured_pool(cfg, 2000, seed=1)
+            train = _video_generator(tr_x, tr_y, cfg.seq_len,
+                                     cfg.batch_size, 0)
+            test = _video_generator(te_x, te_y, cfg.seq_len,
+                                    cfg.batch_size, 1)
+        else:
+            train, test = data.moving_mnist.load_video(cfg.seq_len,
+                                                       cfg.batch_size)
 
         def wrap(factory):
             def get_epoch():
@@ -183,7 +209,10 @@ def run(dataset: str = "moving_mnist", mode: str = "local_ep",
                                                          _mnist_pool)
         from graphical_gan_tpu.data.ondevice_moving_mnist import (
             make_video_sampler)
-        (pool_x, pool_y), _ = _mnist_pool(None)
+        if data_dir == "structured":
+            pool_x, pool_y = _structured_pool(cfg, 20000, seed=0)
+        else:
+            (pool_x, pool_y), _ = _mnist_pool(None)
         resident = {
             "digits": np.asarray(pool_x, np.float32).reshape(
                 -1, DIGIT_SIZE, DIGIT_SIZE),
