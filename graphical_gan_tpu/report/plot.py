@@ -27,6 +27,10 @@ class MetricLogger:
     def tick(self) -> None:
         self._iter += 1
 
+    def restore(self, iteration: int) -> None:
+        """Fast-forward the tick counter (trainer resume)."""
+        self._iter = int(iteration)
+
     @property
     def iteration(self) -> int:
         return self._iter

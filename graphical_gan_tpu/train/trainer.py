@@ -208,6 +208,10 @@ class Trainer:
         self.state = self._place(self.state)
         self._start_iter = int(extra["iteration"]) + 1
         self.keys.restore(int(extra["rng_count"]))
+        # fast-forward the metric logger so post-resume logfile lines carry
+        # the TRUE iteration (training already resumed correctly; only the
+        # printed labels restarted at 0 before this)
+        self.logger.restore(self._start_iter)
         return True
 
     # -- loop ---------------------------------------------------------------
