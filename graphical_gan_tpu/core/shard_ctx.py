@@ -19,6 +19,7 @@ from typing import Callable, Optional
 import jax
 
 _FRAME_CONSTRAINT: Optional[Callable[[jax.Array], jax.Array]] = None
+_COMPONENT_CONSTRAINT: Optional[Callable[[jax.Array], jax.Array]] = None
 
 
 @contextlib.contextmanager
@@ -41,3 +42,26 @@ def constrain_frames(h: jax.Array) -> jax.Array:
     if _FRAME_CONSTRAINT is None:
         return h
     return _FRAME_CONSTRAINT(h)
+
+
+@contextlib.contextmanager
+def component_constraint(fn: Callable[[jax.Array], jax.Array]):
+    """Install ``fn`` as the active mixture-component-axis constraint."""
+    global _COMPONENT_CONSTRAINT
+    prev = _COMPONENT_CONSTRAINT
+    _COMPONENT_CONSTRAINT = fn
+    try:
+        yield
+    finally:
+        _COMPONENT_CONSTRAINT = prev
+
+
+def constrain_components(h: jax.Array) -> jax.Array:
+    """Apply the active constraint to a ``[..., n_coms]``-last tensor
+    (gmgan component logits / one-hot k samples).
+
+    Identity unless tracing under ``parallel.expert.make_ep_train_step``.
+    """
+    if _COMPONENT_CONSTRAINT is None:
+        return h
+    return _COMPONENT_CONSTRAINT(h)

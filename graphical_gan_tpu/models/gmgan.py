@@ -38,7 +38,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from graphical_gan_tpu.core import registry
+from graphical_gan_tpu.core import registry, shard_ctx
 from graphical_gan_tpu.core.config import GMGanConfig
 from graphical_gan_tpu.core.registry import next_rng_key, param
 from graphical_gan_tpu.models import networks
@@ -88,7 +88,9 @@ class GMGanModel:
         log_pi = math.log(1.0 / cfg.n_coms)
         sq = jnp.sum(jnp.square(z[:, None, :].astype(jnp.float32)
                                 - mu[None, :, :]), axis=-1)
-        logits = -0.5 * sq + log_pi
+        # expert-parallel fold point: component logits [B, n_coms] (identity
+        # unless tracing under parallel.expert.make_ep_train_step)
+        logits = shard_ctx.constrain_components(-0.5 * sq + log_pi)
 
         mk = cfg.mode_k
         if mk == "REINFORCE":
@@ -106,7 +108,7 @@ class GMGanModel:
             k = jax.lax.stop_gradient(k_hard - logits) + logits
         else:
             raise ValueError(mk)
-        return logits, k
+        return logits, shard_ctx.constrain_components(k)
 
     # -- discriminators ------------------------------------------------------
 
@@ -190,7 +192,10 @@ class GMGanModel:
 
         hyper_p_z = jax.random.normal(next_rng_key(), (b, cfg.dim_latent))
         prior_idx = jax.random.randint(next_rng_key(), (b,), 0, cfg.n_coms)
-        hyper_p_k = jax.nn.one_hot(prior_idx, cfg.n_coms)
+        # expert-parallel fold point: the prior k descends from a replicated
+        # RNG draw, so propagation alone would leave the prior side unsharded
+        hyper_p_k = shard_ctx.constrain_components(
+            jax.nn.one_hot(prior_idx, cfg.n_coms))
         p_z = self.hyper_generator(hyper_p_k, hyper_p_z).astype(
             self.compute_dtype)
         fake_x, _, _ = networks.generator(cfg, p_z)

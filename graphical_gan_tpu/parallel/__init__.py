@@ -13,3 +13,8 @@ from graphical_gan_tpu.parallel.sequence import (
     video_batch_spec,
 )
 from graphical_gan_tpu.parallel.composed import make_composed_train_step
+from graphical_gan_tpu.parallel.expert import (
+    make_ep_train_step,
+    ep_param_shardings,
+)
+from graphical_gan_tpu.parallel.pipeline import make_pp_train_step
