@@ -40,11 +40,13 @@ discriminator's only on D steps, exactly as the unsharded alternating step
 (per-row masked TF1-Adam, bias-correction counters per stage row).
 
 Scope: the ali objective (the reference's default MODE and the only
-celebA/face mode, ``gan_inference_face.py:33``) on family 1.  The ali train
-graph never executes rec_x/rec_z (TF runs only fetched subgraphs; the
-reconstruction ops are eval-only), so stage 0 computes exactly the fetched
-forward.  Scales: ``make_pp_train_step`` is where deeper cuts (intra-network
-stage splits) slot in when a model family outgrows one chip's HBM.
+celebA/face mode, ``gan_inference_face.py:33``) and wali-gp (the benchmark
+flagship — its gradient penalty is stage-1-local, so the double backward
+never crosses the pipeline boundary) on family 1.  These train graphs never
+execute rec_x/rec_z (TF runs only fetched subgraphs; the reconstruction ops
+are eval-only), so stage 0 computes exactly the fetched forward.  Scales:
+``make_pp_train_step`` is where deeper cuts (intra-network stage splits)
+slot in when a model family outgrows one chip's HBM.
 """
 
 from __future__ import annotations
@@ -119,11 +121,13 @@ def build_family1_stages(model):
     """
     from graphical_gan_tpu.models import networks
     from graphical_gan_tpu.objectives import gan_inference as objs
+    from graphical_gan_tpu.objectives import penalties
 
     cfg = model.cfg
-    if cfg.mode != "ali":
+    if cfg.mode not in ("ali", "wali-gp"):
         raise NotImplementedError(
-            f"pipeline parallelism supports mode 'ali' (got {cfg.mode!r})")
+            "pipeline parallelism supports modes 'ali' and 'wali-gp' "
+            f"(got {cfg.mode!r})")
     if jnp.dtype(getattr(cfg, "param_dtype", "float32")) != jnp.float32:
         raise NotImplementedError("pipeline parallelism keeps f32 params "
                                   "(packed stage buffers)")
@@ -158,6 +162,15 @@ def build_family1_stages(model):
         def fwd():
             disc_real = networks.discriminator_xz(cfg, real_x, q_z)
             disc_fake = networks.discriminator_xz(cfg, fake_x, p_z)
+            if cfg.mode == "wali-gp":
+                # the gradient penalty is stage-1-local: the (x, z)
+                # interpolates are built from the stage-0 activations and
+                # the inner jax.grad closes over only Discriminator params,
+                # so the double backward never crosses the pipeline boundary
+                gp = penalties.gradient_penalty_xz(
+                    lambda x, z: networks.discriminator_xz(cfg, x, z),
+                    real_x, fake_x, q_z, p_z, next_rng_key(), cfg.gp_lambda)
+                return objs.wali_gp(disc_fake, disc_real, gp)
             return objs.ali(disc_fake, disc_real)
 
         return registry.apply(fwd, params1, key)
@@ -311,7 +324,7 @@ def make_pp_train_step(model, mesh: Mesh, microbatches: int = 4,
     for spec in (gen_spec, disc_spec):
         if spec.kind != "adam" or spec.weight_clip is not None:
             raise NotImplementedError("pipeline step implements the Adam "
-                                      "players (ali preset)")
+                                      "players (ali / wali-gp presets)")
 
     losses, templates = _make_pipeline_losses(model, mesh, microbatches,
                                               stage_axis)

@@ -48,9 +48,9 @@ def _maybe_mesh(n_devices: Optional[int], parallel: str = "dp",
                 mesh_shape: Optional[str] = None):
     """Mesh for the requested strategy (None/1 device = single-chip).
 
-    ``mesh_shape``: for tp/sp a "d,m" pair (data x model / data x seq); for
-    composed a named spec like "data=2,seq=2,model=2".  Defaults: dp = 1-D
-    over n_devices; tp/sp = 2 x (n_devices/2).
+    ``mesh_shape``: for tp/sp/ep a "d,m" pair (data x model / data x seq /
+    data x expert); for composed a named spec like "data=2,seq=2,model=2".
+    Defaults: dp = 1-D over n_devices; tp/sp/ep = 2 x (n_devices/2).
     """
     if mesh_shape is None and (not n_devices or n_devices <= 1):
         return None
@@ -65,7 +65,8 @@ def _maybe_mesh(n_devices: Optional[int], parallel: str = "dp",
         axes = tuple(kk for kk, _ in pairs)
         dims = tuple(int(v) for _, v in pairs)
     else:
-        axes = {"tp": ("data", "model"), "sp": ("data", "seq")}.get(parallel)
+        axes = {"tp": ("data", "model"), "sp": ("data", "seq"),
+                "ep": ("data", "expert")}.get(parallel)
         if axes is None:
             raise ValueError(
                 f"--parallel {parallel} needs a named --mesh-shape "

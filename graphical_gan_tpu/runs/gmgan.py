@@ -316,7 +316,7 @@ def main(argv=None):
     p.add_argument("--chunk-size", type=int, default=None)
     p.add_argument("--n-devices", type=int, default=None)
     p.add_argument("--parallel", default="dp",
-                   choices=["dp", "tp", "sp", "composed"])
+                   choices=["dp", "tp", "ep", "sp", "composed"])
     p.add_argument("--mesh-shape", default=None)
     p.add_argument("--run-dir", default=None,
                    help="reuse an existing run dir; resume from its latest "

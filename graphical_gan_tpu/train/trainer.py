@@ -90,7 +90,8 @@ class Trainer:
         # mesh + parallel: training over a jax.sharding.Mesh with the named
         # strategy — 'dp' (1-D 'data' axis: batch sharded, params
         # replicated), 'tp' (2-D data x model: channel sharding rules),
-        # 'sp' (2-D data x seq: the video frame axis sharded), or
+        # 'sp' (2-D data x seq: the video frame axis sharded), 'ep'
+        # (2-D data x expert: the gmgan mixture-component axis sharded), or
         # 'composed' (any subset of data/seq/model axes present in the
         # mesh).  XLA GSPMD inserts every collective (parallel/*.py).
         # Works for both the host-fed and the resident hot loops; the
@@ -107,6 +108,9 @@ class Trainer:
             elif parallel == "sp":
                 from graphical_gan_tpu.parallel.sequence import (
                     make_sp_train_step as factory)
+            elif parallel == "ep":
+                from graphical_gan_tpu.parallel.expert import (
+                    make_ep_train_step as factory)
             elif parallel == "composed":
                 from graphical_gan_tpu.parallel.composed import (
                     make_composed_train_step)
@@ -359,6 +363,9 @@ class Trainer:
         mesh, parallel = self.mesh, self.parallel
         has_seq = mesh is not None and parallel in ("sp", "composed") \
             and "seq" in mesh.shape
+        has_expert = mesh is not None and parallel == "ep" \
+            and "expert" in mesh.shape \
+            and self.cfg.n_coms % mesh.shape["expert"] == 0
 
         def constrain(raw):
             if mesh is None:
@@ -386,6 +393,17 @@ class Trainer:
             return jax.lax.with_sharding_constraint(
                 h, NamedSharding(mesh, P(*spec)))
 
+        def component_fold(h):
+            # [..., n_coms]-last component tensors partition over
+            # (data, expert) — see parallel/expert.py
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = [None] * h.ndim
+            if "data" in mesh.shape:
+                spec[0] = "data"
+            spec[-1] = "expert"
+            return jax.lax.with_sharding_constraint(
+                h, NamedSharding(mesh, P(*spec)))
+
         def chunk(state, data, base_key):
             def body(st, kk):
                 raw = sampler(data, jax.random.fold_in(kk, 7), 1 + k, bs)
@@ -395,6 +413,10 @@ class Trainer:
                     from graphical_gan_tpu.core import shard_ctx
                     with shard_ctx.frame_constraint(fold_constraint):
                         return raw_step(st, constrain(raw), kk, st.step > 0)
+                if has_expert:
+                    from graphical_gan_tpu.core import shard_ctx
+                    with shard_ctx.component_constraint(component_fold):
+                        return raw_step(st, constrain(raw), kk, st.step > 0)
                 return raw_step(st, constrain(raw), kk, st.step > 0)
 
             keys = jax.random.split(base_key, n)
@@ -402,12 +424,13 @@ class Trainer:
 
         if mesh is None:
             fn = jax.jit(chunk, donate_argnums=(0,))
-        elif parallel in ("tp", "composed"):
+        elif parallel in ("tp", "composed", "ep"):
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(mesh, P())
             # state arrives pre-placed by _place (params channel-sharded
-            # under TP) — leave its shardings inferred; dataset + key
-            # replicated, sampled batch re-sharded by the constraint
+            # under TP, mixture means expert-sharded under EP) — leave its
+            # shardings inferred; dataset + key replicated, sampled batch
+            # re-sharded by the constraint
             fn = jax.jit(chunk, in_shardings=(None, repl, repl),
                          donate_argnums=(0,))
         else:

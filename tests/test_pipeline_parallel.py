@@ -20,10 +20,10 @@ def make_mesh_pp():
     return Mesh(devs, ("stage",))
 
 
-def make_model(**over):
+def make_model(mode="ali", **over):
     over.setdefault("dim", 16)
     over.setdefault("batch_size", 8)
-    cfg = gan_inference_defaults("cifar10", "ali", **over)
+    cfg = gan_inference_defaults("cifar10", mode, **over)
     return GanInferenceModel(cfg)
 
 
@@ -73,6 +73,41 @@ def test_pipeline_losses_and_grads_match_sequential():
     # the gen-loss grad reaches stage 0 THROUGH the pipeline boundary
     # (ppermute transpose) — it must be nonzero on both stage rows
     assert float(jnp.abs(grad_pp[0]).max()) > 0
+    assert float(jnp.abs(grad_pp[1]).max()) > 0
+
+
+def test_pipeline_wali_gp_matches_sequential():
+    """wali-gp through the pipeline: the gradient penalty's inner jax.grad
+    lives inside the stage-1 switch branch, so the disc-loss gradient is a
+    DOUBLE backward through scan/switch/ppermute — must equal sequential
+    staged execution."""
+    model = make_model(mode="wali-gp")
+    cfg = model.cfg
+    params = model.init(KEY)
+    raw = jnp.asarray(np.random.RandomState(1).randint(
+        0, 256, size=(cfg.batch_size, cfg.data.output_dim)).astype("int32"))
+    key = jax.random.PRNGKey(5)
+    m_count = 4
+
+    mesh = make_mesh_pp()
+    losses, templates = pp._make_pipeline_losses(model, mesh, m_count,
+                                                 "stage")
+    stacked = pp.pack_stacked(model, params, templates)
+
+    def seq_fn(stacked):
+        p = pp.unpack_stacked(stacked, templates)
+        return pp.sequential_staged_losses(model, p, raw, key, m_count)
+
+    g_ref, d_ref = seq_fn(stacked)
+    g_pp, d_pp = losses(stacked, raw, key)
+    np.testing.assert_allclose(float(g_ref), float(g_pp), rtol=1e-5)
+    np.testing.assert_allclose(float(d_ref), float(d_pp), rtol=1e-5)
+
+    # disc-loss grad (contains the GP double backward)
+    grad_ref = jax.grad(lambda s: seq_fn(s)[1])(stacked)
+    grad_pp = jax.grad(lambda s: losses(s, raw, key)[1])(stacked)
+    np.testing.assert_allclose(np.asarray(grad_ref), np.asarray(grad_pp),
+                               atol=3e-5)
     assert float(jnp.abs(grad_pp[1]).max()) > 0
 
 

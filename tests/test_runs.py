@@ -131,10 +131,12 @@ def test_cli_mains_forward_flags(monkeypatch):
     assert kw["parallel"] == "tp" and kw["mesh_shape"] == "4,2"
 
     gm.main(["--dataset", "svhn", "--mode", "local_ep", "--n-coms", "7",
-             "--accum-steps", "2"])
+             "--accum-steps", "2", "--parallel", "ep",
+             "--mesh-shape", "2,4"])
     ds, mode, kw = calls["gm"]
     assert (ds, mode) == ("svhn", "local_ep") and kw["n_coms"] == 7
     assert kw["accum_steps"] == 2
+    assert kw["parallel"] == "ep" and kw["mesh_shape"] == "2,4"
 
     ss.main(["--dataset", "moving_mnist", "--mode", "local_ep",
              "--data-pipeline", "device", "--seq-len", "8",

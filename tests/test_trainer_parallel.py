@@ -55,6 +55,62 @@ def test_trainer_tp_matches_single_device(tmp_path):
             atol=3e-4, err_msg=n)
 
 
+def test_trainer_ep_matches_single_device(tmp_path):
+    """Trainer-level expert parallelism (gmgan, data x expert mesh):
+    host-fed EP matches the single-device trainer exactly and the mixture
+    means really end up sharded."""
+    from graphical_gan_tpu.core.config import gmgan_defaults
+    from graphical_gan_tpu.models.gmgan import GMGanModel
+
+    cfg = gmgan_defaults("mnist", "local_ep", dim=16, batch_size=8, n_coms=8)
+    model = GMGanModel(cfg)
+    gen = _gen_factory(cfg)
+
+    t1 = Trainer(model, gen, outf=str(tmp_path / "single"), seed=3,
+                 checkpoint_every=0)
+    t1.train(iters=3, resume=False)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "expert"))
+    t2 = Trainer(model, gen, outf=str(tmp_path / "ep"), seed=3,
+                 checkpoint_every=0, mesh=mesh, parallel="ep")
+    t2.train(iters=3, resume=False)
+
+    assert not t2.state.params[
+        "Generator.Hyper.Mu"].sharding.is_fully_replicated
+    # 3 steps of drift: the sharded component softmax/psum reorder f32
+    # reductions, so allow slightly more than the 1-step bare-step test
+    for n in t1.state.params:
+        np.testing.assert_allclose(
+            np.asarray(t1.state.params[n]), np.asarray(t2.state.params[n]),
+            atol=6e-4, err_msg=n)
+
+
+@pytest.mark.slow
+def test_trainer_ep_resident_hot_loop(tmp_path):
+    """The gmgan resident scanned chunk compiles and runs under the
+    data x expert mesh with the component fold constraints active."""
+    from graphical_gan_tpu.core.config import gmgan_defaults
+    from graphical_gan_tpu.models.gmgan import GMGanModel
+
+    cfg = gmgan_defaults("mnist", "local_ep", dim=16, batch_size=8, n_coms=8)
+    model = GMGanModel(cfg)
+    rng = np.random.RandomState(0)
+    resident = rng.rand(32, cfg.data.output_dim).astype("float32")
+
+    def gen():
+        yield resident[:cfg.batch_size]
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "expert"))
+    tr = Trainer(model, gen, outf=str(tmp_path / "ep_res"), seed=0,
+                 checkpoint_every=0, mesh=mesh, parallel="ep",
+                 resident_data=resident, chunk_size=2)
+    m = tr.train(iters=4, resume=False)
+    assert np.isfinite(m["gen_cost"])
+    assert int(tr.state.step) == 4
+
+
 @pytest.mark.slow
 def test_trainer_sp_resident_hot_loop(tmp_path):
     cfg = ssgan_defaults("moving_mnist", "local_ep", dim=8, dim_op=16,
