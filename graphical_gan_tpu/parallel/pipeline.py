@@ -393,6 +393,9 @@ def make_pp_train_step(model, mesh: Mesh, microbatches: int = 4,
         return new_state, metrics
 
     jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+    # the unjitted step, for embedding in larger programs (the Trainer's
+    # resident hot loop traces it inside its scanned multi-iteration chunk)
+    jitted.raw_step = step
 
     def init_state(params: Params):
         packed = pack_stacked(model, params, templates)

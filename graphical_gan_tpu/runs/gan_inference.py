@@ -49,10 +49,14 @@ def _maybe_mesh(n_devices: Optional[int], parallel: str = "dp",
     """Mesh for the requested strategy (None/1 device = single-chip).
 
     ``mesh_shape``: for tp/sp/ep a "d,m" pair (data x model / data x seq /
-    data x expert); for composed a named spec like "data=2,seq=2,model=2".
-    Defaults: dp = 1-D over n_devices; tp/sp/ep = 2 x (n_devices/2).
+    data x expert); for composed a named spec like "data=2,seq=2,model=2";
+    for pp a 1-D stage count (always 2).  Defaults: dp = 1-D over
+    n_devices; tp/sp/ep = 2 x (n_devices/2); pp = 2 stages.
     """
-    if mesh_shape is None and (not n_devices or n_devices <= 1):
+    if mesh_shape is None and (not n_devices or n_devices <= 1) \
+            and parallel != "pp":
+        # pp has a canonical default (2 stages), so `--parallel pp` alone
+        # builds it rather than silently running single-chip
         return None
     from graphical_gan_tpu.parallel.mesh import make_mesh
     if parallel == "dp":
@@ -66,13 +70,15 @@ def _maybe_mesh(n_devices: Optional[int], parallel: str = "dp",
         dims = tuple(int(v) for _, v in pairs)
     else:
         axes = {"tp": ("data", "model"), "sp": ("data", "seq"),
-                "ep": ("data", "expert")}.get(parallel)
+                "ep": ("data", "expert"), "pp": ("stage",)}.get(parallel)
         if axes is None:
             raise ValueError(
                 f"--parallel {parallel} needs a named --mesh-shape "
                 f"(e.g. data=2,seq=2,model=2)")
         if mesh_shape:
             dims = tuple(int(v) for v in mesh_shape.split(","))
+        elif parallel == "pp":
+            dims = (2,)  # 2-stage player-boundary cut (parallel/pipeline.py)
         else:
             dims = (2, (n_devices or len(_jax.devices())) // 2)
     need = int(_np.prod(dims))
@@ -115,7 +121,7 @@ def make_eval_hooks(model, fixed_dev_batch):
     norm_j = registry.jit_apply(model.normalize)
 
     def hook(trainer, iteration):
-        params = trainer.state.params
+        params = trainer.params
         samples = sample_j(params, jax.random.PRNGKey(0),
                            jnp.asarray(fixed_noise))
         img = _to_grid_scale(cfg, np.asarray(samples))
@@ -160,7 +166,7 @@ def make_tsne_hook(model, dev_gen):
             if not isinstance(batch, tuple):
                 return  # unlabeled dataset (celeba) — no class coloring
             xb, yb = batch
-            z = encode_j(trainer.state.params, jax.random.PRNGKey(0),
+            z = encode_j(trainer.params, jax.random.PRNGKey(0),
                          jnp.asarray(xb))
             zs.append(np.asarray(z))
             ys.append(yb)
@@ -200,7 +206,7 @@ def make_inception_hook(model, n_samples: int = 50000,
         for i in range(n_samples // sample_batch):
             noise = jax.random.normal(jax.random.PRNGKey(i),
                                       (sample_batch, cfg.dim_latent))
-            flat = sample_j(trainer.state.params, jax.random.PRNGKey(i),
+            flat = sample_j(trainer.params, jax.random.PRNGKey(i),
                             noise)
             x = ((np.asarray(flat) + 1.0) * (255.0 / 2)).astype("int32")
             x = x.reshape(sample_batch, c, h, w).transpose(0, 2, 3, 1)
@@ -327,11 +333,12 @@ def main(argv=None):
                    help="data-parallel over the first N devices (params "
                         "replicated, batch sharded over ICI)")
     p.add_argument("--parallel", default="dp",
-                   choices=["dp", "tp", "sp", "composed"],
+                   choices=["dp", "tp", "sp", "pp", "composed"],
                    help="parallel strategy over the mesh: dp (batch), tp "
                         "(channel sharding, data x model mesh), sp (video "
-                        "frame axis, data x seq mesh), composed (any axis "
-                        "subset)")
+                        "frame axis, data x seq mesh), pp (2-stage "
+                        "player-cut pipeline, ali/wali-gp), composed (any "
+                        "axis subset)")
     p.add_argument("--mesh-shape", default=None,
                    help="mesh dims: 'd,m' for tp/sp, or named "
                         "'data=2,seq=2,model=2' for composed")

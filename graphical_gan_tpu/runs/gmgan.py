@@ -98,7 +98,7 @@ def make_sample_hook(model):
     sample_j = registry.jit_apply(model.sample)
 
     def hook(trainer, iteration):
-        params = trainer.state.params
+        params = trainer.params
         samples = sample_j(params, jax.random.PRNGKey(0),
                            jnp.asarray(fixed_k), jnp.asarray(fixed_noise))
         img = _to_grid_scale(cfg, np.asarray(samples))
@@ -116,7 +116,7 @@ def make_recon_hook(model, fixed_dev_batch):
     norm_j = registry.jit_apply(model.normalize)
 
     def hook(trainer, iteration):
-        params = trainer.state.params
+        params = trainer.params
         rec = rec_j(params, jax.random.PRNGKey(1),
                     jnp.asarray(fixed_dev_batch))
         rec = _to_grid_scale(cfg, np.asarray(rec))
@@ -140,7 +140,7 @@ def make_accuracy_hook(model, test_gen_factory):
     def hook(trainer, iteration):
         probs, ys = [], []
         for xb, yb in test_gen_factory():
-            p = probs_j(trainer.state.params, jax.random.PRNGKey(0),
+            p = probs_j(trainer.params, jax.random.PRNGKey(0),
                         jnp.asarray(xb))
             probs.append(np.asarray(p))
             ys.append(yb)
@@ -172,7 +172,7 @@ def tsne_visualizations(trainer, model, dev_gen_factory, iteration):
             return q_z, q_k, p_z, idx
 
         q_z, q_k, p_z, pk = registry.apply(
-            fwd, trainer.state.params,
+            fwd, trainer.params,
             jax.random.PRNGKey(rng.randint(1 << 30)))
         z_dev.append(np.asarray(q_z))
         qk_dev.append(np.argmax(np.asarray(q_k), axis=1))
@@ -221,7 +221,7 @@ def make_gmgan_inception_hook(model, n_samples: int = 50000,
             idx = jax.random.randint(jax.random.fold_in(key, 1),
                                      (sample_batch,), 0, cfg.n_coms)
             k1 = jax.nn.one_hot(idx, cfg.n_coms)
-            flat = sample_j(trainer.state.params, key, k1, noise)
+            flat = sample_j(trainer.params, key, k1, noise)
             x = ((np.asarray(flat) + 1.0) * (255.0 / 2)).astype("int32")
             imgs.extend(list(
                 x.reshape(sample_batch, c, h, w).transpose(0, 2, 3, 1)))

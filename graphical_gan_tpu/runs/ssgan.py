@@ -119,7 +119,7 @@ def make_eval_hook(model, fixed_dev):
     dis_j = registry.jit_apply(model.disentangle)
 
     def hook(trainer, iteration):
-        params = trainer.state.params
+        params = trainer.params
         samples = sample_j(
             params, jax.random.PRNGKey(0), jnp.asarray(pre_fixed),
             jnp.asarray(fixed_g),
@@ -155,7 +155,7 @@ def make_eval_hook(model, fixed_dev):
 
 def log_player_param_counts(trainer, model):
     """``ssgan_inference_moving_mnist.py:635-641``."""
-    params = trainer.state.params
+    params = trainer.params
     gen = sum(int(np.prod(p.shape)) for n, p in params.items()
               if n.startswith("Generator"))
     ext = sum(int(np.prod(p.shape)) for n, p in params.items()

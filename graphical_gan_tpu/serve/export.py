@@ -92,15 +92,14 @@ def export_sampler(run_dir: str, ckpt: Optional[str] = None,
                    platforms: Sequence[str] = ("tpu", "cpu"),
                    symbolic_batch: bool = True) -> dict:
     """Export a run directory's trained sampler to a serving artifact."""
-    from graphical_gan_tpu.tools.generate import rebuild, restore_state
+    from graphical_gan_tpu.tools.generate import rebuild, restore_params
     from graphical_gan_tpu.train import checkpoint as ckpt_lib
 
     family, cfg, model = rebuild(run_dir)
     path = ckpt or ckpt_lib.latest(run_dir)
     if path is None:
         raise FileNotFoundError(f"no ckpt_*.npz under {run_dir}")
-    state, extra = restore_state(model, path)
-    params = state.params
+    params, extra = restore_params(model, path)
 
     fn, example = make_sampler(family, model)
 

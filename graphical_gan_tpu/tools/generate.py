@@ -41,16 +41,17 @@ from graphical_gan_tpu.train.step import make_train_step
 
 class _Shim:
     """Minimal stand-in for the Trainer that eval hooks read from:
-    ``trainer.state.params``, ``trainer.outf``, ``trainer.logger``,
-    ``trainer.logfile``."""
+    ``trainer.params``, ``trainer.outf``, ``trainer.logger``,
+    ``trainer.logfile`` (plus ``state.params`` for older callers)."""
 
     class _State:
         def __init__(self, params):
             self.params = params
 
-    def __init__(self, state, outf):
+    def __init__(self, params, outf):
         from graphical_gan_tpu.report.plot import MetricLogger
-        self.state = state
+        self.params = params
+        self.state = self._State(params)
         self.outf = outf
         self.logger = MetricLogger()
         self.logfile = os.path.join(outf, "generate_log.txt")
@@ -93,10 +94,28 @@ def rebuild(run_dir: str):
     return family, cfg, model
 
 
-def restore_state(model, ckpt_path: str):
+def restore_params(model, ckpt_path: str):
+    """(name-keyed params, extra) from any checkpoint the framework
+    writes — the standard TrainState layout, or a pipeline-parallel run's
+    packed per-stage rows (``parallel/pipeline.py``)."""
+    import jax.numpy as jnp
+    with np.load(ckpt_path, allow_pickle=False) as data:
+        is_pp = "k:packed" in data.files
+    if is_pp:
+        from graphical_gan_tpu.parallel import pipeline as pp
+        templates, _, _, _ = pp.build_family1_stages(model)
+        packed = pp.pack_stacked(model, model.init(jax.random.PRNGKey(0)),
+                                 templates)
+        like = dict(packed=packed, m=jnp.zeros_like(packed),
+                    v=jnp.zeros_like(packed),
+                    t=jnp.zeros((pp.N_STAGES,), jnp.int32),
+                    step=jnp.zeros((), jnp.int32))
+        state, extra = ckpt_lib.restore(ckpt_path, like)
+        return pp.unpack_stacked(state["packed"], templates), extra
     _, init_state = make_train_step(model, jit=False)
     like = init_state(model.init(jax.random.PRNGKey(0)))
-    return ckpt_lib.restore(ckpt_path, like)
+    state, extra = ckpt_lib.restore(ckpt_path, like)
+    return state.params, extra
 
 
 def _dev_batch(family, cfg, data_dir):
@@ -122,11 +141,11 @@ def generate(run_dir: str, ckpt: str = None, out: str = None,
     path = ckpt or ckpt_lib.latest(run_dir)
     if path is None:
         raise FileNotFoundError(f"no ckpt_*.npz under {run_dir}")
-    state, extra = restore_state(model, path)
+    params, extra = restore_params(model, path)
     iteration = int(extra.get("iteration", -1))
     outf = out or os.path.join(run_dir, "generated")
     os.makedirs(outf, exist_ok=True)
-    shim = _Shim(state, outf)
+    shim = _Shim(params, outf)
 
     batch = _dev_batch(family, cfg, data_dir) if with_data else None
     if family == "gan_inference":

@@ -91,13 +91,20 @@ class Trainer:
         # strategy — 'dp' (1-D 'data' axis: batch sharded, params
         # replicated), 'tp' (2-D data x model: channel sharding rules),
         # 'sp' (2-D data x seq: the video frame axis sharded), 'ep'
-        # (2-D data x expert: the gmgan mixture-component axis sharded), or
-        # 'composed' (any subset of data/seq/model axes present in the
-        # mesh).  XLA GSPMD inserts every collective (parallel/*.py).
-        # Works for both the host-fed and the resident hot loops; the
-        # global batch size must divide the data-axis size.
+        # (2-D data x expert: the gmgan mixture-component axis sharded),
+        # 'pp' (1-D 'stage' axis: 2-stage parameter-partitioned GPipe
+        # pipeline, family-1 ali/wali-gp), or 'composed' (any subset of
+        # data/seq/model axes present in the mesh).  XLA GSPMD inserts
+        # every collective (parallel/*.py).  Works for both the host-fed
+        # and the resident hot loops; the global batch size must divide
+        # the data-axis size.
         self.mesh = mesh
         self.parallel = parallel if mesh is not None else "dp"
+        # how to recover the name-keyed param dict from the training state
+        # (eval hooks, dev sweeps, param counts).  Every strategy but pp
+        # keeps a TrainState with .params; pp packs both stages' params
+        # into a stage-sharded [2, P] buffer and unpacks on demand.
+        self._read_params = lambda s: s.params
         if mesh is not None:
             if parallel == "dp":
                 from graphical_gan_tpu.parallel.mesh import (
@@ -123,10 +130,27 @@ class Trainer:
                         seq_axis="seq" if "seq" in mesh.shape else None,
                         model_axis="model" if "model" in mesh.shape
                         else None)
+            elif parallel == "pp":
+                from graphical_gan_tpu.parallel.pipeline import (
+                    make_pp_train_step)
+                if lr_scale is not None:
+                    raise NotImplementedError(
+                        "pipeline parallelism does not support lr_scale")
+
+                def factory(model, mesh, critic_iters, lr_scale):
+                    step, pp_init, place, read = make_pp_train_step(
+                        model, mesh, critic_iters=critic_iters)
+                    return step, pp_init, place, read
             else:
                 raise ValueError(f"unknown parallel strategy {parallel!r}")
-            self.step_fn, _, self._place = factory(
-                model, mesh, critic_iters=self.k, lr_scale=lr_scale)
+            out = factory(model, mesh, critic_iters=self.k,
+                          lr_scale=lr_scale)
+            self.step_fn, self._place = out[0], out[2]
+            if len(out) == 4:
+                # pp: the state is the factory's own pytree (packed stage
+                # rows + per-row Adam moments), not the standard TrainState
+                self.init_state = out[1]
+                self._read_params = out[3]
         else:
             self.step_fn = jax.jit(self._raw_step, donate_argnums=(0,))
             self._place = lambda s: s
@@ -168,6 +192,14 @@ class Trainer:
         self._start_iter = 0
         self._dev_fn = None
         self._dev_data = None
+
+    @property
+    def params(self):
+        """Name-keyed param dict of the current state, strategy-agnostic:
+        every strategy but pp exposes ``state.params`` directly; pp unpacks
+        its stage-sharded ``[2, P]`` rows.  Eval hooks and tools should use
+        this instead of reaching into ``state``."""
+        return self._read_params(self.state)
 
     # -- data ---------------------------------------------------------------
 
@@ -230,7 +262,7 @@ class Trainer:
 
         # startup parameter-count logging (gan_inference_cifar10.py:425-428)
         total = sum(int(np.prod(p.shape))
-                    for p in self.state.params.values())
+                    for p in self._read_params(self.state).values())
         line = f"Total number of parameters {total}"
         print(line)
         with open(self.logfile, "a") as f:
@@ -309,8 +341,7 @@ class Trainer:
             last.clear()
             last.update(metrics)
             if trace_active and iteration >= profile_start + profile_steps:
-                jax.tree.map(lambda a: a.block_until_ready(),
-                             self.state.params)
+                jax.tree.map(lambda a: a.block_until_ready(), self.state)
                 jax.profiler.stop_trace()
                 trace_active = False
 
@@ -366,6 +397,10 @@ class Trainer:
         has_expert = mesh is not None and parallel == "ep" \
             and "expert" in mesh.shape \
             and self.cfg.n_coms % mesh.shape["expert"] == 0
+        is_pp = mesh is not None and parallel == "pp"
+        # pp: the scanned body is the pipeline step itself (its shard_map
+        # schedule traces fine inside lax.scan); state is the pp dict pytree
+        pp_step = self.step_fn.raw_step if is_pp else None
 
         def constrain(raw):
             if mesh is None:
@@ -409,6 +444,8 @@ class Trainer:
                 raw = sampler(data, jax.random.fold_in(kk, 7), 1 + k, bs)
                 # skip the G update only at global iteration 0
                 # (gan_inference_cifar10.py:433) — state.step is authoritative
+                if is_pp:
+                    return pp_step(st, raw, kk, st["step"] > 0)
                 if has_seq:
                     from graphical_gan_tpu.core import shard_ctx
                     with shard_ctx.frame_constraint(fold_constraint):
@@ -424,13 +461,14 @@ class Trainer:
 
         if mesh is None:
             fn = jax.jit(chunk, donate_argnums=(0,))
-        elif parallel in ("tp", "composed", "ep"):
+        elif parallel in ("tp", "composed", "ep", "pp"):
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(mesh, P())
             # state arrives pre-placed by _place (params channel-sharded
-            # under TP, mixture means expert-sharded under EP) — leave its
-            # shardings inferred; dataset + key replicated, sampled batch
-            # re-sharded by the constraint
+            # under TP, mixture means expert-sharded under EP, stage rows
+            # stage-sharded under PP) — leave its shardings inferred;
+            # dataset + key replicated, sampled batch re-sharded by the
+            # constraint
             fn = jax.jit(chunk, in_shardings=(None, repl, repl),
                          donate_argnums=(0,))
         else:
@@ -585,8 +623,8 @@ class Trainer:
         if self._dev_fn is None:
             self._build_dev_sweep()
         if self._dev_data is not None:
-            outs = self._dev_fn(self.state.params, self.keys.next(),
-                                self._dev_data)
+            outs = self._dev_fn(self._read_params(self.state),
+                                self.keys.next(), self._dev_data)
             outs = {k: np.asarray(v) for k, v in outs.items()}
             gen_costs = outs["gen"]
             rec_costs = outs.get("rec", [])
@@ -670,7 +708,8 @@ class Trainer:
         for batch in self.dev_gen_factory():
             x = batch[0] if isinstance(batch, tuple) else batch
             x = jax.tree.map(jnp.asarray, x)
-            g, aux = self._dev_fn(self.state.params, self.keys.next(), x)
+            g, aux = self._dev_fn(self._read_params(self.state),
+                                  self.keys.next(), x)
             gen_costs.append(g)
             if "rec_cost" in aux:
                 rec_costs.append(aux["rec_cost"])

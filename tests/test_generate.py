@@ -80,3 +80,13 @@ def test_generate_gmgan_and_ssgan(tmp_path):
     assert info["family"] == "ssgan"
     assert any(n.endswith(".gif") for n in info["artifacts"])
     assert any("disentangle" in n for n in info["artifacts"])
+
+
+def test_generate_from_pp_checkpoint(tmp_path):
+    """A pipeline-parallel run's checkpoint (packed per-stage rows) restores
+    through the same generate path: restore_params detects the pp layout
+    and unpacks the name-keyed params."""
+    outf = _tiny_family1_run(tmp_path, parallel="pp")
+    info = generate(outf)
+    assert info["family"] == "gan_inference"
+    assert any("samples" in n for n in info["artifacts"])

@@ -130,6 +130,10 @@ def test_cli_mains_forward_flags(monkeypatch):
     assert kw["accum_steps"] == 4
     assert kw["parallel"] == "tp" and kw["mesh_shape"] == "4,2"
 
+    gi.main(["--dataset", "cifar10", "--mode", "ali", "--parallel", "pp"])
+    _, _, kw = calls["gi"]
+    assert kw["parallel"] == "pp" and kw["mesh_shape"] is None
+
     gm.main(["--dataset", "svhn", "--mode", "local_ep", "--n-coms", "7",
              "--accum-steps", "2", "--parallel", "ep",
              "--mesh-shape", "2,4"])
