@@ -33,13 +33,17 @@ def epoch_batches(batch_size: int, *arrays: np.ndarray,
                   rng: Optional[np.random.RandomState] = None,
                   drop_remainder: bool = True) -> Iterator:
     """One shuffled epoch of aligned batches over ``arrays``."""
+    from graphical_gan_tpu.native.batcher_ext import take_rows
+
     rng = rng or np.random.RandomState()
     n = len(arrays[0])
     perm = rng.permutation(n)
     n_batches = n // batch_size if drop_remainder else -(-n // batch_size)
     for i in range(n_batches):
         idx = perm[i * batch_size:(i + 1) * batch_size]
-        out = tuple(a[idx] for a in arrays)
+        # take_rows = a[idx] with a multithreaded C++ gather for large rows
+        # (native/batcher.cc); numpy below the crossover or without g++.
+        out = tuple(take_rows(a, idx) for a in arrays)
         yield out if len(out) > 1 else out[0]
 
 

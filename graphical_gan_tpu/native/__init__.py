@@ -10,3 +10,7 @@ from graphical_gan_tpu.native.build import load_library, native_available
 from graphical_gan_tpu.native.moving_mnist_ext import (
     synthesize_batch_native,
 )
+from graphical_gan_tpu.native.batcher_ext import (
+    gather_rows_native,
+    take_rows,
+)

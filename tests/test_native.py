@@ -74,3 +74,90 @@ def test_loader_uses_native_path():
     x, y = next(iter(train()))
     assert x.shape == (8, 4, 4096)
     assert x.min() >= 0.0 and x.max() <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Native batcher (multithreaded row gather, native/batcher.cc)
+# ---------------------------------------------------------------------------
+
+batcher_native = pytest.mark.skipif(
+    not native_available("batcher"), reason="no C++ toolchain available")
+
+
+@batcher_native
+@pytest.mark.parametrize("dtype", ["uint8", "float32", "int32", "float64"])
+def test_gather_rows_matches_numpy(dtype):
+    from graphical_gan_tpu.native import gather_rows_native
+    rng = np.random.RandomState(0)
+    a = (rng.rand(500, 321) * 100).astype(dtype)
+    idx = rng.randint(0, 500, size=130)
+    out = gather_rows_native(a, idx)
+    assert out is not None and out.dtype == a.dtype
+    np.testing.assert_array_equal(out, a[idx])
+
+
+@batcher_native
+def test_gather_rows_nd_and_empty():
+    from graphical_gan_tpu.native import gather_rows_native
+    rng = np.random.RandomState(1)
+    a = rng.rand(64, 3, 32, 32).astype("float32")
+    idx = rng.permutation(64)[:17]
+    np.testing.assert_array_equal(gather_rows_native(a, idx), a[idx])
+    empty = gather_rows_native(a, np.zeros((0,), np.int64))
+    assert empty.shape == (0, 3, 32, 32)
+
+
+@batcher_native
+def test_gather_rows_rejects_out_of_range():
+    from graphical_gan_tpu.native import gather_rows_native
+    a = np.zeros((4, 8), np.float32)
+    with pytest.raises(IndexError):
+        gather_rows_native(a, np.array([0, 4], np.int64))
+
+
+@batcher_native
+def test_gather_rows_threaded_path_large():
+    # Force the multithreaded branch (> 1 MiB) and check exactness.
+    from graphical_gan_tpu.native import gather_rows_native
+    rng = np.random.RandomState(2)
+    a = rng.randint(0, 256, size=(4096, 2048)).astype("uint8")
+    idx = rng.randint(0, 4096, size=3000)
+    np.testing.assert_array_equal(gather_rows_native(a, idx), a[idx])
+
+
+def test_take_rows_fallback_matches_numpy(monkeypatch):
+    # With the native fn unavailable, take_rows must be plain a[idx].
+    from graphical_gan_tpu.native import batcher_ext
+    monkeypatch.setattr(batcher_ext, "_fn", lambda: None)
+    rng = np.random.RandomState(3)
+    a = rng.rand(2048, 1024).astype("float32")  # above NATIVE_MIN_BYTES
+    idx = rng.randint(0, 2048, size=512)
+    np.testing.assert_array_equal(batcher_ext.take_rows(a, idx), a[idx])
+
+
+@batcher_native
+def test_epoch_batches_native_equals_reference_protocol(monkeypatch):
+    # The loader protocol (paired shuffle + gather) must be byte-identical
+    # whichever gather backend runs: same seed => same batches.  Force the
+    # native dispatch (it requires >= 2 threads + a large transfer, which
+    # the 1-core CI host would otherwise never satisfy).
+    from graphical_gan_tpu.data.common import epoch_batches
+    from graphical_gan_tpu.native import batcher_ext
+    monkeypatch.setenv("GGAN_BATCHER_THREADS", "4")
+    monkeypatch.setattr(batcher_ext, "NATIVE_MIN_BYTES", 1)
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 256, size=(1000, 3072)).astype("uint8")
+    y = rng.randint(0, 10, size=(1000,)).astype("int64")
+
+    got = list(epoch_batches(64, x, y, rng=np.random.RandomState(5)))
+    # Reference gather: force numpy
+    orig = batcher_ext.take_rows
+    try:
+        batcher_ext.take_rows = lambda a, idx: a[idx]
+        want = list(epoch_batches(64, x, y, rng=np.random.RandomState(5)))
+    finally:
+        batcher_ext.take_rows = orig
+    assert len(got) == len(want) == 1000 // 64
+    for (gx, gy), (wx, wy) in zip(got, want):
+        np.testing.assert_array_equal(gx, wx)
+        np.testing.assert_array_equal(gy, wy)
