@@ -39,10 +39,12 @@ generator player's Adam state updates only on G steps and the
 discriminator's only on D steps, exactly as the unsharded alternating step
 (per-row masked TF1-Adam, bias-correction counters per stage row).
 
-Scope: the ali objective (the reference's default MODE and the only
-celebA/face mode, ``gan_inference_face.py:33``) and wali-gp (the benchmark
-flagship — its gradient penalty is stage-1-local, so the double backward
-never crosses the pipeline boundary) on family 1.  These train graphs never
+Scope: family 1 with the ali objective (the reference's default MODE and
+the only celebA/face mode, ``gan_inference_face.py:33``) and wali-gp (the
+benchmark flagship — its gradient penalty is stage-1-local, so the double
+backward never crosses the pipeline boundary); family 2 (gmgan) with ali
+and local_ep (the published gmgan mode), all MODE_K paths — see
+``build_gmgan_stages``.  These train graphs never
 execute rec_x/rec_z (TF runs only fetched subgraphs; the reconstruction ops
 are eval-only), so stage 0 computes exactly the fetched forward.  Scales:
 ``make_pp_train_step`` is where deeper cuts (intra-network stage splits)
@@ -178,6 +180,108 @@ def build_family1_stages(model):
     return (tmpl0, tmpl1), stage0_fn, stage1_fn, act_width
 
 
+# ---------------------------------------------------------------------------
+# Family-2 (gmgan) stage functions
+# ---------------------------------------------------------------------------
+
+def build_gmgan_stages(model):
+    """(templates, stage0_fn, stage1_fn, act_width) for the gmgan graph.
+
+    Same player cut as family 1 (``gmgan_inference_mnist.py:374-381``):
+    stage 0 owns Generator.* (incl. the shared mixture means
+    ``Generator.Hyper.Mu``) + Extractor.*, stage 1 the discriminators.
+    Modes: ali (joint D(x,z,k)) and local_ep (the published gmgan mode —
+    latent D(z,k) + data D(x,z) lists).  All MODE_K paths pipeline: the
+    REINFORCE surrogate needs stage-0's q_k posterior max AND stage-1's
+    latent-D output, so ``max q_k_probs`` rides the activation buffer and
+    the score-function gradient flows back across the ppermute boundary
+    like any other activation gradient.
+    """
+    from graphical_gan_tpu.models import networks
+    from graphical_gan_tpu.objectives import discrete
+    from graphical_gan_tpu.objectives import gan_inference as objs
+
+    cfg = model.cfg
+    if cfg.mode not in ("ali", "local_ep"):
+        raise NotImplementedError(
+            "gmgan pipeline parallelism supports modes 'ali' and "
+            f"'local_ep' (got {cfg.mode!r})")
+    if jnp.dtype(getattr(cfg, "param_dtype", "float32")) != jnp.float32:
+        raise NotImplementedError("pipeline parallelism keeps f32 params "
+                                  "(packed stage buffers)")
+
+    names0, names1 = _player_stage_names(model)
+    params = model.init(jax.random.PRNGKey(0))
+    tmpl0, tmpl1 = StageTemplate(params, names0), StageTemplate(params, names1)
+
+    d_x = cfg.data.output_dim
+    d_z = cfg.dim_latent
+    n_k = cfg.n_coms
+    # real_x | q_z | q_k | fake_x | p_z | hyper_p_k | q_k_prob_max
+    widths = [d_x, d_z, n_k, d_x, d_z, n_k, 1]
+    splits = np.cumsum(widths)[:-1]
+    act_width = int(sum(widths))
+    cdt = model.compute_dtype
+
+    def stage0_fn(params0: Params, x_mb: jax.Array, key) -> jax.Array:
+        def fwd():
+            real_x = model.normalize(x_mb)
+            q_z, _, _ = networks.extractor(cfg, real_x)
+            q_k_logits, q_k = model.hyper_extractor(q_z)
+            q_k_prob_max = jnp.max(jax.nn.softmax(q_k_logits),
+                                   axis=1, keepdims=True)
+            b = x_mb.shape[0]
+            hyper_p_z = jax.random.normal(next_rng_key(), (b, d_z))
+            prior_idx = jax.random.randint(next_rng_key(), (b,), 0, n_k)
+            hyper_p_k = jax.nn.one_hot(prior_idx, n_k)
+            p_z = model.hyper_generator(hyper_p_k, hyper_p_z).astype(cdt)
+            fake_x, _, _ = networks.generator(cfg, p_z)
+            return jnp.concatenate(
+                [a.astype(jnp.float32) for a in
+                 (real_x, q_z, q_k, fake_x, p_z, hyper_p_k, q_k_prob_max)],
+                axis=1)
+
+        return registry.apply(fwd, params0, key)
+
+    def stage1_fn(params1: Params, buf: jax.Array, key):
+        parts = jnp.split(buf, splits, axis=1)
+        real_x, q_z, q_k, fake_x, p_z, hyper_p_k = [
+            a.astype(cdt) for a in parts[:6]]
+        q_k_prob_max = parts[6][:, 0].astype(jnp.float32)
+
+        def fwd():
+            if cfg.mode == "local_ep":
+                disc_fake = [model.hyper_discriminator(p_z, hyper_p_k),
+                             model.discriminator_xz(fake_x, p_z)]
+                disc_real = [model.hyper_discriminator(q_z, q_k),
+                             model.discriminator_xz(real_x, q_z)]
+                f_k = disc_real[0]
+            else:  # ali
+                disc_real = model.discriminator_xzk(real_x, q_z, q_k)
+                disc_fake = model.discriminator_xzk(fake_x, p_z, hyper_p_k)
+                f_k = disc_real
+            s_f = None
+            if cfg.mode_k == "REINFORCE":
+                s_f = jnp.mean(discrete.score_function(
+                    f_k, q_k_prob_max, cfg.control_variate))
+            if cfg.mode == "local_ep":
+                return objs.local_ep(disc_fake, disc_real, s_f=s_f)
+            return objs.ali(disc_fake, disc_real, s_f=s_f)
+
+        return registry.apply(fwd, params1, key)
+
+    return (tmpl0, tmpl1), stage0_fn, stage1_fn, act_width
+
+
+def build_stages(model):
+    """Family dispatch: the pipeline scheduler is family-agnostic; only the
+    two stage closures differ."""
+    from graphical_gan_tpu.models.gmgan import GMGanModel
+    if isinstance(model, GMGanModel):
+        return build_gmgan_stages(model)
+    return build_family1_stages(model)
+
+
 def pack_stacked(model, params: Params, templates) -> jax.Array:
     """Stack both stages' packed params into ``[2, Pmax]`` (zero-padded)."""
     tmpl0, tmpl1 = templates
@@ -204,7 +308,7 @@ def sequential_staged_losses(model, params: Params, raw: jax.Array, key,
                              microbatches: int):
     """The same staged math as the pipeline, run stage-by-stage on one
     device: per microbatch j, stage0 then stage1; losses averaged over M."""
-    templates, stage0_fn, stage1_fn, _ = build_family1_stages(model)
+    templates, stage0_fn, stage1_fn, _ = build_stages(model)
     names0 = [e[0] for e in templates[0].entries]
     p0 = {n: params[n] for n in names0}
     p1 = {n: params[n] for n in params if n not in p0}
@@ -231,7 +335,7 @@ def _make_pipeline_losses(model, mesh: Mesh, microbatches: int,
                           stage_axis: str):
     """Build ``losses(stacked [2,P], raw [B,...], key) -> (gen, disc)`` as a
     scan+ppermute pipeline under shard_map over ``stage_axis``."""
-    templates, stage0_fn, stage1_fn, act_width = build_family1_stages(model)
+    templates, stage0_fn, stage1_fn, act_width = build_stages(model)
     m_count = microbatches
     b = model.cfg.batch_size
     if b % m_count:
@@ -323,8 +427,9 @@ def make_pp_train_step(model, mesh: Mesh, microbatches: int = 4,
     gen_spec, disc_spec = model.opt_specs()
     for spec in (gen_spec, disc_spec):
         if spec.kind != "adam" or spec.weight_clip is not None:
-            raise NotImplementedError("pipeline step implements the Adam "
-                                      "players (ali / wali-gp presets)")
+            raise NotImplementedError(
+                "pipeline step implements the Adam players "
+                "(ali / wali-gp / gmgan local_ep presets)")
 
     losses, templates = _make_pipeline_losses(model, mesh, microbatches,
                                               stage_axis)

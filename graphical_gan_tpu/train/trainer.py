@@ -93,7 +93,8 @@ class Trainer:
         # 'sp' (2-D data x seq: the video frame axis sharded), 'ep'
         # (2-D data x expert: the gmgan mixture-component axis sharded),
         # 'pp' (1-D 'stage' axis: 2-stage parameter-partitioned GPipe
-        # pipeline, family-1 ali/wali-gp), or 'composed' (any subset of
+        # pipeline, family-1 ali/wali-gp + gmgan ali/local_ep), or
+        # 'composed' (any subset of
         # data/seq/model axes present in the mesh).  XLA GSPMD inserts
         # every collective (parallel/*.py).  Works for both the host-fed
         # and the resident hot loops; the global batch size must divide

@@ -173,3 +173,98 @@ def test_pp_state_is_stage_partitioned_and_trains():
     assert "Generator.Input.W" in params or any(
         n.startswith("Generator.") for n in params)
     assert all(np.isfinite(np.asarray(v)).all() for v in params.values())
+
+
+# ---------------------------------------------------------------------------
+# Family 2 (gmgan) through the same scheduler
+# ---------------------------------------------------------------------------
+
+def make_gmgan(mode="local_ep", **over):
+    from graphical_gan_tpu.core.config import gmgan_defaults
+    from graphical_gan_tpu.models.gmgan import GMGanModel
+    over.setdefault("dim", 16)
+    over.setdefault("batch_size", 8)
+    over.setdefault("n_coms", 6)
+    cfg = gmgan_defaults("mnist", mode, **over)
+    return GMGanModel(cfg)
+
+
+def _assert_pp_equals_sequential(model, loss_idx, atol):
+    cfg = model.cfg
+    params = model.init(KEY)
+    raw = jnp.asarray(np.random.RandomState(2).randint(
+        0, 256, size=(cfg.batch_size, cfg.data.output_dim)).astype("int32"))
+    key = jax.random.PRNGKey(7)
+    m_count = 4
+
+    mesh = make_mesh_pp()
+    losses, templates = pp._make_pipeline_losses(model, mesh, m_count,
+                                                 "stage")
+    stacked = pp.pack_stacked(model, params, templates)
+
+    def seq_fn(stacked):
+        p = pp.unpack_stacked(stacked, templates)
+        return pp.sequential_staged_losses(model, p, raw, key, m_count)
+
+    g_ref, d_ref = seq_fn(stacked)
+    g_pp, d_pp = losses(stacked, raw, key)
+    np.testing.assert_allclose(float(g_ref), float(g_pp), rtol=1e-5)
+    np.testing.assert_allclose(float(d_ref), float(d_pp), rtol=1e-5)
+
+    grad_ref = jax.grad(lambda s: seq_fn(s)[loss_idx])(stacked)
+    grad_pp = jax.grad(lambda s: losses(s, raw, key)[loss_idx])(stacked)
+    np.testing.assert_allclose(np.asarray(grad_ref), np.asarray(grad_pp),
+                               atol=atol)
+    return grad_pp
+
+
+def test_gmgan_pipeline_local_ep_matches_sequential():
+    """local_ep (the published gmgan mode): 2-element discriminator lists
+    evaluated in stage 1, shared-Mu hyper chain in stage 0; gen-loss grad
+    must cross the boundary and move both stage rows."""
+    grad_pp = _assert_pp_equals_sequential(make_gmgan("local_ep"), 0, 2e-5)
+    assert float(jnp.abs(grad_pp[0]).max()) > 0
+    assert float(jnp.abs(grad_pp[1]).max()) > 0
+
+
+def test_gmgan_pipeline_ali_matches_sequential():
+    grad_pp = _assert_pp_equals_sequential(make_gmgan("ali"), 0, 2e-5)
+    assert float(jnp.abs(grad_pp[0]).max()) > 0
+
+
+def test_gmgan_pipeline_reinforce_surrogate_crosses_boundary():
+    """REINFORCE: the score-function surrogate pairs stage-0's posterior
+    max with stage-1's latent-D output, so its gen-loss gradient into the
+    EXTRACTOR-side params flows through the activation buffer (ppermute
+    transpose).  Must equal sequential staged math and be nonzero on the
+    stage-0 row."""
+    model = make_gmgan("local_ep", mode_k="REINFORCE")
+    grad_pp = _assert_pp_equals_sequential(model, 0, 2e-5)
+    assert float(jnp.abs(grad_pp[0]).max()) > 0
+
+
+def test_gmgan_pp_step_trains_and_shares_mu_in_stage0():
+    """Generator.Hyper.Mu (read by BOTH sides' hyper chains) lives on the
+    stage-0 row; a D-only step must not move it, a G step must."""
+    model = make_gmgan("local_ep")
+    cfg = model.cfg
+    mesh = make_mesh_pp()
+    step, init_state, place, read_params = pp.make_pp_train_step(
+        model, mesh, microbatches=4, critic_iters=1, donate=False)
+    state = place(init_state(model.init(KEY)))
+    rng = np.random.RandomState(3)
+
+    def raw():
+        return jnp.asarray(rng.randint(
+            0, 256, size=(2, cfg.batch_size, cfg.data.output_dim)
+        ).astype("int32"))
+
+    mu0 = np.asarray(read_params(state)["Generator.Hyper.Mu"])
+    s2, m = step(state, raw(), jax.random.PRNGKey(1), jnp.asarray(False))
+    np.testing.assert_array_equal(
+        np.asarray(read_params(s2)["Generator.Hyper.Mu"]), mu0)
+    s3, m = step(s2, raw(), jax.random.PRNGKey(2), jnp.asarray(True))
+    assert not np.allclose(
+        np.asarray(read_params(s3)["Generator.Hyper.Mu"]), mu0)
+    assert np.isfinite(float(m["gen_cost"]))
+    assert np.isfinite(float(m["disc_cost"]))
