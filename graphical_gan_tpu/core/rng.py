@@ -19,6 +19,8 @@ class KeyStream:
     """A host-side iterator of fresh PRNG keys (one per train iteration)."""
 
     def __init__(self, seed: int):
+        self._seed = seed
+        self._salt = 0
         self._key = jax.random.PRNGKey(seed)
         self._count = 0
 
@@ -42,3 +44,21 @@ class KeyStream:
 
     def restore(self, count: int) -> None:
         self._count = count
+
+    @property
+    def salt(self) -> int:
+        return self._salt
+
+    def set_salt(self, salt: int) -> None:
+        """Re-base the stream on ``fold_in(PRNGKey(seed), salt)``.
+
+        salt=0 keeps the original stream bit-exactly.  The trainer's
+        divergence guard uses a nonzero salt after a rollback so the retry
+        takes a different random trajectory from the restored state instead
+        of replaying the exact keys that diverged.  The salt is part of the
+        checkpoint so a later resume continues the salted stream.
+        """
+        salt = int(salt)
+        self._salt = salt
+        base = jax.random.PRNGKey(self._seed)
+        self._key = jax.random.fold_in(base, salt) if salt else base

@@ -62,11 +62,24 @@ def gather_rows_native(a: np.ndarray, idx: np.ndarray,
     idx = np.ascontiguousarray(idx, dtype=np.int64)
     if idx.ndim != 1:
         return None
-    if idx.size and (idx.min() < 0 or idx.max() >= a.shape[0]):
-        raise IndexError("gather_rows_native: index out of range")
+    if idx.size:
+        lo, hi = int(idx.min()), int(idx.max())
+        if lo < -a.shape[0] or hi >= a.shape[0]:
+            raise IndexError("gather_rows_native: index out of range")
+        if lo < 0:
+            # numpy's a[idx] wraps in-range negatives; match it so the
+            # public take_rows semantics don't depend on which path runs.
+            idx = np.where(idx < 0, idx + a.shape[0], idx)
+            idx = np.ascontiguousarray(idx, dtype=np.int64)
     row_bytes = a.dtype.itemsize * int(np.prod(a.shape[1:], dtype=np.int64))
+    out_shape = (idx.size,) + a.shape[1:]
     if out is None:
-        out = np.empty((idx.size,) + a.shape[1:], dtype=a.dtype)
+        out = np.empty(out_shape, dtype=a.dtype)
+    elif (not isinstance(out, np.ndarray) or not out.flags.c_contiguous
+          or out.dtype != a.dtype or out.shape != out_shape):
+        raise ValueError(
+            "gather_rows_native: out must be a C-contiguous ndarray of "
+            f"dtype {a.dtype} and shape {out_shape}")
     f(a.ctypes.data_as(ctypes.c_void_p),
       idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
       out.ctypes.data_as(ctypes.c_void_p),

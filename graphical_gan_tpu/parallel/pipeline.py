@@ -301,6 +301,79 @@ def unpack_stacked(stacked: jax.Array, templates) -> Params:
 
 
 # ---------------------------------------------------------------------------
+# Cross-strategy checkpoint conversion (elastic strategy migration)
+# ---------------------------------------------------------------------------
+
+def pp_state_like(model):
+    """A zero pp-state pytree with the right shapes/dtypes — the ``like``
+    structure for restoring a pp checkpoint without needing a mesh."""
+    templates, *_ = build_stages(model)
+    packed = pack_stacked(model, model.init(jax.random.PRNGKey(0)),
+                          templates)
+    return dict(packed=packed,
+                m=jnp.zeros_like(packed), v=jnp.zeros_like(packed),
+                t=jnp.zeros((N_STAGES,), jnp.int32),
+                step=jnp.zeros((), jnp.int32))
+
+
+def pp_state_from_train_state(model, ts):
+    """Convert a standard ``TrainState`` (dp/tp/sp/ep/single-device) into
+    the pp packed representation, so a run trained under any other strategy
+    resumes under pipeline parallelism with its optimizer state intact.
+    Requires the pp-supported configuration: Adam for both players, f32
+    params (no bf16 masters)."""
+    templates, *_ = build_stages(model)
+    tmpl0, tmpl1 = templates
+    for opt in (ts.gen_opt, ts.disc_opt):
+        if not isinstance(opt, dict) or "m" not in opt:
+            raise NotImplementedError(
+                "pp checkpoint conversion requires Adam optimizer state "
+                "for both players")
+        if "master" in opt:
+            raise NotImplementedError(
+                "pp checkpoint conversion does not support bf16 "
+                "master-weight (low-byte) states")
+    packed = pack_stacked(model, dict(ts.params), templates)
+    pmax = packed.shape[1]
+
+    def pack_rows(field):
+        r0 = tmpl0.pack(dict(ts.gen_opt[field]))
+        r1 = tmpl1.pack(dict(ts.disc_opt[field]))
+        return jnp.stack([jnp.pad(r0, (0, pmax - r0.shape[0])),
+                          jnp.pad(r1, (0, pmax - r1.shape[0]))])
+
+    t = jnp.stack([jnp.asarray(ts.gen_opt["t"], jnp.int32),
+                   jnp.asarray(ts.disc_opt["t"], jnp.int32)])
+    return dict(packed=packed, m=pack_rows("m"), v=pack_rows("v"), t=t,
+                step=jnp.asarray(ts.step, jnp.int32))
+
+
+def train_state_from_pp_state(model, pp_state, std_init_state):
+    """Inverse of ``pp_state_from_train_state``: unpack a pp checkpoint into
+    the standard ``TrainState`` so a pipeline run resumes under any other
+    strategy.  ``std_init_state`` is the standard ``make_train_step`` init
+    (builds the optimizer pytrees whose m/v we fill from the packed rows)."""
+    templates, *_ = build_stages(model)
+    tmpl0, tmpl1 = templates
+    params = unpack_stacked(pp_state["packed"], templates)
+    like = std_init_state(params)
+    for opt in (like.gen_opt, like.disc_opt):
+        if not isinstance(opt, dict) or "m" not in opt or "master" in opt:
+            raise NotImplementedError(
+                "pp checkpoint conversion requires the plain-Adam f32 "
+                "configuration on the restoring side too")
+    gen_opt = dict(like.gen_opt)
+    disc_opt = dict(like.disc_opt)
+    for field in ("m", "v"):
+        gen_opt[field] = tmpl0.unpack(pp_state[field][0])
+        disc_opt[field] = tmpl1.unpack(pp_state[field][1])
+    gen_opt["t"] = jnp.asarray(pp_state["t"][0], jnp.int32)
+    disc_opt["t"] = jnp.asarray(pp_state["t"][1], jnp.int32)
+    return like._replace(params=params, gen_opt=gen_opt, disc_opt=disc_opt,
+                         step=jnp.asarray(pp_state["step"], jnp.int32))
+
+
+# ---------------------------------------------------------------------------
 # Sequential staged reference (no mesh) — the equality target for tests
 # ---------------------------------------------------------------------------
 
@@ -377,13 +450,19 @@ def _make_pipeline_losses(model, mesh: Mesh, microbatches: int,
 
             out, g, d = jax.lax.switch(sidx, [br0, br1], None)
             # the last stage's contribution is valid while it holds a real
-            # microbatch: 0 <= t - (S-1) < M
+            # microbatch: 0 <= t - (S-1) < M.  SELECT (jnp.where), never
+            # multiply by a 0/1 mask: a bubble tick computes on the garbage
+            # init buffer, and e.g. REINFORCE's log(q_k_prob_max) there is
+            # log(0) = -inf, so mask * loss would be 0 * inf = NaN.  The
+            # where keeps the forward finite; the log's backward NaN drains
+            # into the constant init carry, never into params.
             valid = ((t - (N_STAGES - 1)) >= 0) & ((t - (N_STAGES - 1))
                                                    < m_count)
-            w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
             buf_next = jax.lax.ppermute(
                 out, stage_axis, [(s, s + 1) for s in range(N_STAGES - 1)])
-            return (buf_next, gacc + g * w, dacc + d * w), None
+            return (buf_next,
+                    gacc + jnp.where(valid, g, jnp.float32(0.0)),
+                    dacc + jnp.where(valid, d, jnp.float32(0.0))), None
 
         ticks = jnp.arange(m_count + N_STAGES - 1)
         (_, gacc, dacc), _ = jax.lax.scan(tick, (zero_buf, zero, zero),

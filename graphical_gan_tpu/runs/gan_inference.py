@@ -226,6 +226,7 @@ def run(dataset: str = "mnist", mode: str = "ali",
         data_pipeline: Optional[str] = None, chunk_size: Optional[int] = None,
         n_devices: Optional[int] = None, parallel: str = "dp",
         mesh_shape: Optional[str] = None, run_dir: Optional[str] = None,
+        max_rollbacks: int = 0,
         **overrides):
     cfg = gan_inference_defaults(dataset, mode, **overrides)
     model = GanInferenceModel(cfg)
@@ -287,6 +288,7 @@ def run(dataset: str = "mnist", mode: str = "ali",
         if cfg.decay else None,
         resident_data=resident, chunk_size=chunk_size,
         mesh=_maybe_mesh(n_devices, parallel, mesh_shape), parallel=parallel,
+        max_rollbacks=max_rollbacks,
     )
     metrics = trainer.train(iters)
     return trainer, metrics
@@ -346,6 +348,10 @@ def main(argv=None):
                    help="reuse an existing run directory and resume from "
                         "its latest checkpoint (default: create a new "
                         "timestamped dir under --outdir)")
+    p.add_argument("--max-rollbacks", type=int, default=0,
+                   help="divergence guard: on a non-finite training cost, "
+                        "roll back to the latest checkpoint and retry on a "
+                        "re-salted RNG stream, up to N times (0 disables)")
     args = p.parse_args(argv)
     overrides = {}
     if args.batch_size:
@@ -365,7 +371,8 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
         n_devices=args.n_devices, parallel=args.parallel,
-        mesh_shape=args.mesh_shape, run_dir=args.run_dir, **overrides)
+        mesh_shape=args.mesh_shape, run_dir=args.run_dir,
+        max_rollbacks=args.max_rollbacks, **overrides)
 
 
 if __name__ == "__main__":

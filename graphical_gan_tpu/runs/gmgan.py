@@ -239,6 +239,7 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
         chunk_size: Optional[int] = None,
         n_devices: Optional[int] = None, parallel: str = "dp",
         mesh_shape: Optional[str] = None, run_dir: Optional[str] = None,
+        max_rollbacks: int = 0,
         **overrides):
     cfg = gmgan_defaults(dataset, mode, **overrides)
     model = GMGanModel(cfg)
@@ -280,7 +281,7 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
                       eval_hooks={eval_every: combined},
                       resident_data=resident, chunk_size=chunk_size,
                       mesh=_maybe_mesh(n_devices, parallel, mesh_shape),
-                      parallel=parallel)
+                      parallel=parallel, max_rollbacks=max_rollbacks)
     metrics = trainer.train(iters)
     # final-iteration 4-way TSNE scatters (gmgan_inference_mnist.py:534-551)
     if dataset != "celeba":
@@ -321,6 +322,11 @@ def main(argv=None):
     p.add_argument("--run-dir", default=None,
                    help="reuse an existing run dir; resume from its latest "
                         "checkpoint")
+    p.add_argument("--max-rollbacks", type=int, default=0,
+                   help="divergence guard: on a non-finite training "
+                        "cost, roll back to the latest checkpoint and "
+                        "retry on a re-salted RNG stream, up to N "
+                        "times (0 disables)")
     args = p.parse_args(argv)
     overrides = {"mode_k": args.mode_k}
     if args.n_coms:
@@ -334,7 +340,8 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
         n_devices=args.n_devices, parallel=args.parallel,
-        mesh_shape=args.mesh_shape, run_dir=args.run_dir, **overrides)
+        mesh_shape=args.mesh_shape, run_dir=args.run_dir,
+        max_rollbacks=args.max_rollbacks, **overrides)
 
 
 if __name__ == "__main__":

@@ -176,6 +176,7 @@ def run(dataset: str = "moving_mnist", mode: str = "local_ep",
         data_pipeline: str = "host", chunk_size: Optional[int] = None,
         n_devices: Optional[int] = None, parallel: str = "dp",
         mesh_shape: Optional[str] = None, run_dir: Optional[str] = None,
+        max_rollbacks: int = 0,
         **overrides):
     cfg = ssgan_defaults(dataset, mode, **overrides)
     model = SSGanModel(cfg)
@@ -228,7 +229,7 @@ def run(dataset: str = "moving_mnist", mode: str = "local_ep",
                       resident_data=resident, chunk_size=chunk_size,
                       batch_sampler=sampler,
                       mesh=_maybe_mesh(n_devices, parallel, mesh_shape),
-                      parallel=parallel)
+                      parallel=parallel, max_rollbacks=max_rollbacks)
     # param counts need an initialized state
     if trainer.state is None and not trainer.try_resume():
         trainer.state = trainer.init_state(
@@ -267,6 +268,11 @@ def main(argv=None):
     p.add_argument("--run-dir", default=None,
                    help="reuse an existing run dir; resume from its latest "
                         "checkpoint")
+    p.add_argument("--max-rollbacks", type=int, default=0,
+                   help="divergence guard: on a non-finite training "
+                        "cost, roll back to the latest checkpoint and "
+                        "retry on a re-salted RNG stream, up to N "
+                        "times (0 disables)")
     args = p.parse_args(argv)
     overrides = {"pos_mode": args.pos_mode, "ali_mode": args.ali_mode}
     if args.seq_len:
@@ -280,7 +286,8 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
         n_devices=args.n_devices, parallel=args.parallel,
-        mesh_shape=args.mesh_shape, run_dir=args.run_dir, **overrides)
+        mesh_shape=args.mesh_shape, run_dir=args.run_dir,
+        max_rollbacks=args.max_rollbacks, **overrides)
 
 
 if __name__ == "__main__":

@@ -84,6 +84,16 @@ def restore(path: str, like: Any) -> Tuple[Any, Dict]:
     return jax.tree_util.tree_unflatten(treedef, leaves), header["extra"]
 
 
+def load_raw(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:
+    """Load a checkpoint as its flat ``{keypath: array}`` dict + extra
+    metadata, without requiring a ``like`` structure — format inspection
+    for cross-strategy conversion (``Trainer.try_resume``)."""
+    with np.load(path, allow_pickle=False) as data:
+        header = json.loads(str(data["__header__"]))
+        flat = {k: data[k] for k in data.files if k != "__header__"}
+    return flat, header["extra"]
+
+
 def list_checkpoints(dirpath: str, prefix: str = "ckpt_"):
     """Sorted [(step, path)] of well-formed ``<prefix><step>.npz`` files;
     files that don't parse (e.g. manual ``ckpt_best.npz`` copies) are

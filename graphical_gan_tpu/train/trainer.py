@@ -45,6 +45,19 @@ from graphical_gan_tpu.train import checkpoint as ckpt_lib
 from graphical_gan_tpu.train.step import make_train_step
 
 
+class DivergenceError(RuntimeError):
+    """Training produced a non-finite cost and the guard could not recover
+    (no checkpoint to roll back to, or the rollback budget is exhausted)."""
+
+
+class _Diverged(Exception):
+    """Internal control flow: non-finite cost detected at ``iteration``."""
+
+    def __init__(self, iteration: int):
+        super().__init__(iteration)
+        self.iteration = int(iteration)
+
+
 def make_run_dir(base: str, script: str, tags: Dict) -> str:
     parts = [script] + [f"{k}-{v}" for k, v in tags.items()] \
         + [str(int(time.time()))]
@@ -73,7 +86,8 @@ class Trainer:
                  resident_data=None, chunk_size: Optional[int] = None,
                  mesh=None, parallel: str = "dp",
                  render_curves: Optional[bool] = None,
-                 batch_sampler: Optional[Callable] = None):
+                 batch_sampler: Optional[Callable] = None,
+                 max_rollbacks: int = 0):
         self.model = model
         self.cfg = model.cfg
         self.train_gen_factory = train_gen_factory
@@ -189,6 +203,14 @@ class Trainer:
         self.checkpoints_to_keep = checkpoints_to_keep
         self.eval_hooks = {e: h for e, h in (eval_hooks or {}).items()
                            if e > 0}
+        # divergence guard: max_rollbacks > 0 checks every drained training
+        # cost for finiteness; on NaN/inf the run rolls back to the latest
+        # checkpoint and retries on a re-salted RNG stream (up to the
+        # budget), instead of silently training on poisoned state.  The
+        # reference had nothing of the kind (SURVEY §5: end-only save, no
+        # restore) — a NaN at iter N corrupted everything after it.
+        self.max_rollbacks = max(0, max_rollbacks or 0)
+        self._rollbacks = 0
         self.state = None
         self._start_iter = 0
         self._dev_fn = None
@@ -224,7 +246,8 @@ class Trainer:
         path = os.path.join(self.outf, f"ckpt_{iteration}.npz")
         out = ckpt_lib.save(path, self.state,
                             extra={"iteration": iteration,
-                                   "rng_count": self.keys.state()})
+                                   "rng_count": self.keys.state(),
+                                   "rng_salt": self.keys.salt})
         self._gc_checkpoints()
         return out
 
@@ -241,15 +264,49 @@ class Trainer:
         if path is None:
             return False
         like = self.init_state(self.model.init(jax.random.PRNGKey(0)))
-        self.state, extra = ckpt_lib.restore(path, like)
+        try:
+            self.state, extra = ckpt_lib.restore(path, like)
+        except (KeyError, ValueError):
+            # structure mismatch: checkpoints are strategy-portable (full
+            # logical arrays), but pp packs its state differently — convert
+            # pp <-> standard so a run migrates across strategies
+            self.state, extra = self._restore_converted(path)
         self.state = self._place(self.state)
         self._start_iter = int(extra["iteration"]) + 1
         self.keys.restore(int(extra["rng_count"]))
+        self.keys.set_salt(int(extra.get("rng_salt", 0)))
         # fast-forward the metric logger so post-resume logfile lines carry
         # the TRUE iteration (training already resumed correctly; only the
         # printed labels restarted at 0 before this)
         self.logger.restore(self._start_iter)
         return True
+
+    def _restore_converted(self, path: str):
+        """Bridge the pp <-> standard state-format gap: every non-pp
+        strategy checkpoints the standard ``TrainState`` (full logical
+        arrays, so dp/tp/sp/ep/single-device resume each other directly);
+        pp checkpoints its stage-packed dict.  Convert whichever direction
+        the current strategy needs (parallel/pipeline.py converters)."""
+        from graphical_gan_tpu.parallel import pipeline as pp_lib
+
+        flat, _ = ckpt_lib.load_raw(path)
+        is_pp_ckpt = "k:packed" in flat
+        is_pp_run = self.mesh is not None and self.parallel == "pp"
+        if is_pp_ckpt == is_pp_run:
+            raise ValueError(
+                f"checkpoint {path!r} does not match the current model "
+                "state structure (and is not a pp<->standard format "
+                "difference)")
+        if is_pp_run:
+            std_init = make_train_step(self.model, critic_iters=self.k,
+                                       jit=False)[1]
+            std_like = std_init(self.model.init(jax.random.PRNGKey(0)))
+            ts, extra = ckpt_lib.restore(path, std_like)
+            return pp_lib.pp_state_from_train_state(self.model, ts), extra
+        pp_like = pp_lib.pp_state_like(self.model)
+        pp_state, extra = ckpt_lib.restore(path, pp_like)
+        return pp_lib.train_state_from_pp_state(
+            self.model, pp_state, self.init_state), extra
 
     # -- loop ---------------------------------------------------------------
 
@@ -275,12 +332,29 @@ class Trainer:
         profile_start = int(os.environ.get("GGAN_PROFILE_START", "10"))
         profile_steps = int(os.environ.get("GGAN_PROFILE_STEPS", "10"))
 
-        if self.resident_data is not None:
-            out = self._train_resident(iters, profile_dir, profile_start,
-                                       profile_steps)
-            self._final_flush()
-            return out
+        # divergence-guard anchor: with no checkpoint yet, an early NaN has
+        # nothing to roll back to — save the pristine initial state so the
+        # guard can always recover (ckpt_-1 resumes at iteration 0).
+        if (self.max_rollbacks > 0
+                and ckpt_lib.latest(self.outf) is None):
+            self.save(self._start_iter - 1)
 
+        while True:
+            try:
+                if self.resident_data is not None:
+                    out = self._train_resident(iters, profile_dir,
+                                               profile_start, profile_steps)
+                else:
+                    out = self._run_host(iters, profile_dir, profile_start,
+                                         profile_steps)
+                break
+            except _Diverged as e:
+                self._rollback(e.iteration)
+        self._final_flush()
+        return out
+
+    def _run_host(self, iters, profile_dir, profile_start,
+                  profile_steps) -> Dict[str, float]:
         # Host-fed hot loop.  The (1+k)-batch stack for iteration i+1 is
         # assembled and transferred on a background thread while iteration i
         # computes (data/prefetch.py) — synthesis-heavy loaders (moving-
@@ -305,8 +379,33 @@ class Trainer:
         finally:
             if batches is not None:
                 batches.close()  # release worker + queued device buffers
-        self._final_flush()
         return {k: float(v) for k, v in last.items()}
+
+    def _rollback(self, iteration: int) -> None:
+        """Recover from a non-finite training cost at ``iteration``: restore
+        the latest checkpoint and retry on a re-salted RNG stream (different
+        random trajectory, same restored state).  Raises ``DivergenceError``
+        when the budget is exhausted or there is nothing to restore.  The
+        host-fed data stream restarts from the loader's first epoch, same as
+        a process-restart resume; resident/on-device sampling is keyed, so
+        its retry trajectory is fully determined by the new salt."""
+        self._rollbacks += 1
+        path = ckpt_lib.latest(self.outf)
+        msg = (f"divergence guard: non-finite training cost at iteration "
+               f"{iteration}; rollback {self._rollbacks}/{self.max_rollbacks}")
+        if path is None:
+            raise DivergenceError(msg + " — no checkpoint to restore")
+        if self._rollbacks > self.max_rollbacks:
+            raise DivergenceError(msg + " — rollback budget exhausted")
+        print(msg)
+        with open(self.logfile, "a") as f:
+            f.write(msg + "\n")
+        # drop the unflushed window (it contains the poisoned values), then
+        # restore state + RNG position from the checkpoint
+        self.logger = MetricLogger()
+        if not self.try_resume():
+            raise DivergenceError(msg + " — restore failed")
+        self.keys.set_salt(self._rollbacks)
 
     def _final_flush(self):
         """Eval hooks fire AFTER the per-window flush, so values plotted at
@@ -355,6 +454,10 @@ class Trainer:
                                for e in self.eval_hooks))
             if boundary and pend_m:
                 vals = np.asarray(jnp.stack([v for _, _, v in pend_m]))
+                if self.max_rollbacks and not np.isfinite(vals).all():
+                    bad = next(it2 for (it2, _, _), v2 in zip(pend_m, vals)
+                               if not np.isfinite(v2))
+                    raise _Diverged(bad)
                 for (it2, name2, _), val in zip(pend_m, vals):
                     self.logger.plot_at(name2, float(val), it2)
                 pend_m.clear()
@@ -576,6 +679,12 @@ class Trainer:
                                        for _, ms in pending])
                    for kk in names}
             window = sum(n for n, _ in pending)
+            if self.max_rollbacks:
+                bad = [int(np.flatnonzero(~np.isfinite(arr))[0])
+                       for arr in cat.values()
+                       if not np.isfinite(arr).all()]
+                if bad:
+                    raise _Diverged(target - window + min(bad))
             dt = (time.time() - t0) / window
             g_it = target - window
             for j in range(window):

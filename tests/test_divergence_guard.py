@@ -1,0 +1,158 @@
+"""Divergence guard: non-finite training costs trigger rollback to the
+latest checkpoint and a retry on a re-salted RNG stream.
+
+The reference had no failure handling at all (SURVEY §5: one save at the
+final iteration, no restore path) — a NaN at iteration N silently poisoned
+every iteration after it.  ``Trainer(max_rollbacks=N)`` turns the drained
+training costs into a watchdog: detection at the metric-drain boundaries,
+recovery from the periodic checkpoints, and a per-rollback RNG salt so the
+retry takes a different random trajectory instead of replaying the exact
+keys that diverged.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from graphical_gan_tpu.core.rng import KeyStream
+from graphical_gan_tpu.train.trainer import DivergenceError
+
+from tests.test_trainer import make_trainer
+
+
+# -- KeyStream salt ----------------------------------------------------------
+
+def test_keystream_salt_semantics():
+    a, b = KeyStream(0), KeyStream(0)
+    k0 = a.next()
+    b.set_salt(0)                       # salt 0 keeps the original stream
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(b.next()))
+    c = KeyStream(0)
+    c.set_salt(1)
+    assert not np.array_equal(np.asarray(c.next()), np.asarray(k0))
+    c.set_salt(0)                       # and back
+    c.restore(0)
+    np.testing.assert_array_equal(np.asarray(c.next()), np.asarray(k0))
+    assert c.salt == 0
+
+
+def _inject_nan_step(tr, fire_on_call):
+    """Wrap tr.step_fn to poison disc_cost ONCE, on the Nth call."""
+    orig = tr.step_fn
+    seen = {"n": 0, "fired": False}
+
+    def step(state, raw, key, do_gen):
+        state, m = orig(state, raw, key, do_gen)
+        seen["n"] += 1
+        if seen["n"] == fire_on_call and not seen["fired"]:
+            seen["fired"] = True
+            m = dict(m)
+            m["disc_cost"] = m["disc_cost"] * jnp.nan
+        return state, m
+
+    tr.step_fn = step
+    return seen
+
+
+# -- host-fed path -----------------------------------------------------------
+
+def test_guard_host_rollback_recovers(tmp_path):
+    tr = make_trainer(tmp_path, checkpoint_every=3, max_rollbacks=2)
+    _inject_nan_step(tr, fire_on_call=4)      # iteration 3
+    metrics = tr.train(iters=7, resume=False)
+    assert np.isfinite(metrics["disc_cost"])
+    assert tr._rollbacks == 1
+    assert tr.keys.salt == 1
+    # pre-rollback steps 0-2 (ckpt_2 holds step=3), retry runs 3-6
+    assert int(tr.state.step) == 7
+    with open(os.path.join(str(tmp_path), "logfile.txt")) as f:
+        log = f.read()
+    assert "divergence guard" in log
+    assert "iteration 3" in log
+
+
+def test_guard_salt_survives_checkpoint_resume(tmp_path):
+    tr = make_trainer(tmp_path, checkpoint_every=3, max_rollbacks=2)
+    _inject_nan_step(tr, fire_on_call=4)
+    tr.train(iters=7, resume=False)
+    tr2 = make_trainer(tmp_path, checkpoint_every=3, max_rollbacks=2)
+    tr2.train(iters=8)                        # resumes from ckpt_6
+    assert tr2._start_iter == 7
+    assert tr2.keys.salt == 1                 # salted stream continues
+
+
+def test_guard_budget_exhausted_raises(tmp_path):
+    tr = make_trainer(tmp_path, checkpoint_every=3, max_rollbacks=1)
+    orig = tr.step_fn
+
+    def always_nan(state, raw, key, do_gen):
+        state, m = orig(state, raw, key, do_gen)
+        m = dict(m)
+        m["disc_cost"] = m["disc_cost"] * jnp.nan
+        return state, m
+
+    tr.step_fn = always_nan
+    with pytest.raises(DivergenceError, match="budget exhausted"):
+        tr.train(iters=7, resume=False)
+    assert tr._rollbacks == 2                 # 1 allowed + the fatal one
+
+
+def test_guard_anchor_checkpoint_covers_early_nan(tmp_path):
+    """A NaN before the first periodic checkpoint rolls back to the
+    pristine-init anchor (ckpt_-1) instead of failing unrecoverably."""
+    tr = make_trainer(tmp_path, checkpoint_every=100, max_rollbacks=1)
+    _inject_nan_step(tr, fire_on_call=1)      # iteration 0
+    metrics = tr.train(iters=4, resume=False)
+    assert np.isfinite(metrics["disc_cost"])
+    assert os.path.isfile(os.path.join(str(tmp_path), "ckpt_-1.npz"))
+    assert tr._rollbacks == 1
+    assert int(tr.state.step) == 4
+
+
+def test_guard_disabled_by_default(tmp_path):
+    """max_rollbacks=0 (the default) preserves the old behavior: no anchor
+    checkpoint, no detection — the NaN just flows into the logs."""
+    tr = make_trainer(tmp_path, checkpoint_every=3)
+    _inject_nan_step(tr, fire_on_call=2)
+    tr.train(iters=4, resume=False)
+    assert not os.path.isfile(os.path.join(str(tmp_path), "ckpt_-1.npz"))
+    assert tr._rollbacks == 0
+    with open(os.path.join(str(tmp_path), "logfile.txt")) as f:
+        assert "divergence guard" not in f.read()
+
+
+# -- resident path -----------------------------------------------------------
+
+def test_guard_resident_rollback_recovers(tmp_path):
+    rng = np.random.RandomState(0)
+    tr = make_trainer(tmp_path, checkpoint_every=3, max_rollbacks=2,
+                      resident_data=rng.rand(64, 784).astype("float32"),
+                      chunk_size=4)
+    orig = tr._run_chunk
+    fired = {}
+
+    def rc(n, data):
+        n2, (s, ms) = orig(n, data)
+        # the first multi-iteration chunk is iters 6-7 (singles cover 0-5
+        # via the early-flush + ckpt cadences); poison its first slot
+        if n2 == 2 and "done" not in fired:
+            fired["done"] = True
+            ms = dict(ms)
+            ms["disc_cost"] = ms["disc_cost"].at[0].set(jnp.nan)
+        return n2, (s, ms)
+
+    tr._run_chunk = rc
+    metrics = tr.train(iters=8, resume=False)
+    assert fired.get("done")
+    assert np.isfinite(metrics["disc_cost"])
+    assert tr._rollbacks == 1
+    assert tr.keys.salt == 1
+    # restored from ckpt_5 (step=6), retry runs iters 6-7
+    assert int(tr.state.step) == 8
+    with open(os.path.join(str(tmp_path), "logfile.txt")) as f:
+        log = f.read()
+    assert "divergence guard" in log
+    assert "iteration 6" in log

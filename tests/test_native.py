@@ -113,6 +113,36 @@ def test_gather_rows_rejects_out_of_range():
     a = np.zeros((4, 8), np.float32)
     with pytest.raises(IndexError):
         gather_rows_native(a, np.array([0, 4], np.int64))
+    with pytest.raises(IndexError):
+        gather_rows_native(a, np.array([0, -5], np.int64))
+
+
+@batcher_native
+def test_gather_rows_wraps_negative_indices_like_numpy():
+    # numpy's a[idx] wraps in-range negatives; the native path must match
+    # so take_rows semantics don't depend on host core count (ADVICE r3).
+    from graphical_gan_tpu.native import gather_rows_native
+    rng = np.random.RandomState(3)
+    a = rng.rand(32, 8).astype("float32")
+    idx = np.array([0, -1, 5, -32, -7, 31], np.int64)
+    np.testing.assert_array_equal(gather_rows_native(a, idx), a[idx])
+
+
+@batcher_native
+def test_gather_rows_validates_out():
+    from graphical_gan_tpu.native import gather_rows_native
+    rng = np.random.RandomState(4)
+    a = rng.rand(16, 8).astype("float32")
+    idx = np.arange(5, dtype=np.int64)
+    good = np.empty((5, 8), np.float32)
+    np.testing.assert_array_equal(gather_rows_native(a, idx, out=good), a[idx])
+    with pytest.raises(ValueError):
+        gather_rows_native(a, idx, out=np.empty((5, 8), np.float64))
+    with pytest.raises(ValueError):
+        gather_rows_native(a, idx, out=np.empty((4, 8), np.float32))
+    with pytest.raises(ValueError):
+        gather_rows_native(a, idx,
+                           out=np.empty((8, 5), np.float32).T)
 
 
 @batcher_native

@@ -213,8 +213,11 @@ def _assert_pp_equals_sequential(model, loss_idx, atol):
 
     grad_ref = jax.grad(lambda s: seq_fn(s)[loss_idx])(stacked)
     grad_pp = jax.grad(lambda s: losses(s, raw, key)[loss_idx])(stacked)
+    # rtol matters: f32 gradients reach magnitude ~1e2 here, and cross-host
+    # reduction-order noise at ~5e-7 relative would fail assert_allclose's
+    # default rtol=1e-7 even though the pipeline math matches (ADVICE r3).
     np.testing.assert_allclose(np.asarray(grad_ref), np.asarray(grad_pp),
-                               atol=atol)
+                               rtol=1e-5, atol=atol)
     return grad_pp
 
 
