@@ -290,6 +290,10 @@ def run(dataset: str = "mnist", mode: str = "ali",
         mesh=_maybe_mesh(n_devices, parallel, mesh_shape), parallel=parallel,
         max_rollbacks=max_rollbacks,
     )
+    # TPU-VM preemptions deliver SIGTERM with a grace window: checkpoint at
+    # the next dispatch boundary and exit cleanly (resume via --run-dir).
+    # No-op off the main thread.
+    trainer.install_preempt_handlers()
     metrics = trainer.train(iters)
     return trainer, metrics
 

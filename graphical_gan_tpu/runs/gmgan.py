@@ -282,6 +282,8 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
                       resident_data=resident, chunk_size=chunk_size,
                       mesh=_maybe_mesh(n_devices, parallel, mesh_shape),
                       parallel=parallel, max_rollbacks=max_rollbacks)
+    # SIGTERM (preemption) -> checkpoint + clean exit; resume via --run-dir
+    trainer.install_preempt_handlers()
     metrics = trainer.train(iters)
     # final-iteration 4-way TSNE scatters (gmgan_inference_mnist.py:534-551)
     if dataset != "celeba":

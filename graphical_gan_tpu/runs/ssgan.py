@@ -230,6 +230,8 @@ def run(dataset: str = "moving_mnist", mode: str = "local_ep",
                       batch_sampler=sampler,
                       mesh=_maybe_mesh(n_devices, parallel, mesh_shape),
                       parallel=parallel, max_rollbacks=max_rollbacks)
+    # SIGTERM (preemption) -> checkpoint + clean exit; resume via --run-dir
+    trainer.install_preempt_handlers()
     # param counts need an initialized state
     if trainer.state is None and not trainer.try_resume():
         trainer.state = trainer.init_state(

@@ -58,6 +58,16 @@ class _Diverged(Exception):
         self.iteration = int(iteration)
 
 
+class _PreemptStop(Exception):
+    """Internal control flow: a preemption request was honored after
+    ``iteration`` completed; ``metrics`` is the last drained metric dict."""
+
+    def __init__(self, iteration: int, metrics: Dict[str, float]):
+        super().__init__(iteration)
+        self.iteration = int(iteration)
+        self.metrics = dict(metrics)
+
+
 def make_run_dir(base: str, script: str, tags: Dict) -> str:
     parts = [script] + [f"{k}-{v}" for k, v in tags.items()] \
         + [str(int(time.time()))]
@@ -211,10 +221,67 @@ class Trainer:
         # restore) — a NaN at iter N corrupted everything after it.
         self.max_rollbacks = max(0, max_rollbacks or 0)
         self._rollbacks = 0
+        # preemption guard: request_preempt() (usually from a SIGTERM
+        # handler, see install_preempt_handlers) asks the hot loop to stop
+        # at the next dispatch boundary, checkpoint, and return cleanly —
+        # the TPU-VM preemption story (maintenance events deliver SIGTERM
+        # with a grace window; the reference would have lost the entire run,
+        # SURVEY §5).  `trainer.preempted` tells the caller the run is
+        # incomplete; a later --run-dir / try_resume continues it exactly.
+        import threading
+        self._preempt = threading.Event()
+        self.preempted = False
         self.state = None
         self._start_iter = 0
         self._dev_fn = None
         self._dev_data = None
+
+    # -- preemption -----------------------------------------------------------
+
+    def request_preempt(self) -> None:
+        """Ask the training loop to stop at the next dispatch boundary, save
+        a checkpoint, and return.  Safe to call from signal handlers and
+        other threads (it only sets an event; all work happens in the
+        training thread, where JAX dispatch is legal)."""
+        self._preempt.set()
+
+    def install_preempt_handlers(self, signals=None) -> None:
+        """Route termination signals into ``request_preempt``.
+
+        Default: SIGTERM only — that is what TPU-VM/GCE preemptions and
+        most job schedulers deliver, with a grace window this loop easily
+        meets (one dispatch boundary + one checkpoint write).  SIGINT is
+        left alone so Ctrl-C still hard-kills.  The previous handler is
+        chained so outer supervisors keep observing the signal."""
+        import signal as _signal
+        import threading
+        if threading.current_thread() is not threading.main_thread():
+            return  # signal.signal is main-thread-only; callers in worker
+            # threads (tests driving run() concurrently) just skip install
+        if signals is None:
+            signals = (_signal.SIGTERM,)
+        for sig in signals:
+            prev = _signal.getsignal(sig)
+
+            def handler(signum, frame, _prev=prev):
+                self.request_preempt()
+                if callable(_prev) and _prev not in (
+                        _signal.SIG_IGN, _signal.SIG_DFL):
+                    _prev(signum, frame)
+
+            _signal.signal(sig, handler)
+
+    def _preempt_stop(self, iteration: int, metrics: Dict) -> None:
+        """Honor a pending preemption request: checkpoint the completed
+        ``iteration``, log, and unwind to train() via _PreemptStop."""
+        self.save(iteration)
+        msg = (f"preempted: checkpoint saved at iteration {iteration}; "
+               "resume with --run-dir (or Trainer.try_resume)")
+        print(msg)
+        with open(self.logfile, "a") as f:
+            f.write(msg + "\n")
+        raise _PreemptStop(iteration,
+                           {k: float(v) for k, v in metrics.items()})
 
     @property
     def params(self):
@@ -350,6 +417,10 @@ class Trainer:
                 break
             except _Diverged as e:
                 self._rollback(e.iteration)
+            except _PreemptStop as e:
+                self.preempted = True
+                out = e.metrics
+                break
         self._final_flush()
         return out
 
@@ -478,6 +549,14 @@ class Trainer:
                     and iteration % self.checkpoint_every
                     == self.checkpoint_every - 1) or iteration == iters - 1:
                 self.save(iteration)
+
+            if self._preempt.is_set():
+                if pend_m:  # drain buffered device scalars into the log
+                    vals = np.asarray(jnp.stack([v for _, _, v in pend_m]))
+                    for (it2, name2, _), val in zip(pend_m, vals):
+                        self.logger.plot_at(name2, float(val), it2)
+                    pend_m.clear()
+                self._preempt_stop(iteration, last)
         if trace_active:
             jax.profiler.stop_trace()
 
@@ -666,6 +745,11 @@ class Trainer:
                         (pn, {kk: np.asarray(v) for kk, v in pm.items()}))
                 in_flight = (n, ms)
                 it += n
+                if self._preempt.is_set():
+                    # stop chunking at this dispatch boundary; the normal
+                    # drain below logs the completed window, then
+                    # _preempt_stop checkpoints iteration it-1 and unwinds
+                    target = it
                 if trace_active and it >= profile_start + profile_steps:
                     jax.tree.map(lambda a: a.block_until_ready(),
                                  self.state.params)
@@ -715,6 +799,8 @@ class Trainer:
                     and iteration % self.checkpoint_every
                     == self.checkpoint_every - 1) or iteration == iters - 1:
                 self.save(iteration)
+            if self._preempt.is_set():
+                self._preempt_stop(iteration, last)
         if trace_active:
             jax.profiler.stop_trace()
         return last
