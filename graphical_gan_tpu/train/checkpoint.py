@@ -94,6 +94,48 @@ def load_raw(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:
     return flat, header["extra"]
 
 
+class AsyncWriter:
+    """Background checkpoint writer with strict ordering.
+
+    ``submit`` is called with an ON-DEVICE snapshot (the caller copies the
+    live state first, since the training step donates its buffers); the
+    device→host fetch AND the npz write happen on one worker thread, so
+    the hot loop resumes immediately — on relayed backends the fetch alone
+    is hundreds of ms per save.  Depth is one: a new submit joins the
+    previous write first, keeping at most one host copy alive and making
+    completion order equal submission order.  Worker exceptions re-raise
+    on the next ``submit``/``join``.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._exc: Optional[BaseException] = None
+
+    def submit(self, path: str, state: Any, extra: Optional[Dict],
+               after=None) -> None:
+        import threading
+        self.join()
+
+        def work():
+            try:
+                save(path, state, extra)
+                if after is not None:
+                    after()
+            except BaseException as e:  # noqa: BLE001 — surfaced on join
+                self._exc = e
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+
 def list_checkpoints(dirpath: str, prefix: str = "ckpt_"):
     """Sorted [(step, path)] of well-formed ``<prefix><step>.npz`` files;
     files that don't parse (e.g. manual ``ckpt_best.npz`` copies) are

@@ -97,7 +97,8 @@ class Trainer:
                  mesh=None, parallel: str = "dp",
                  render_curves: Optional[bool] = None,
                  batch_sampler: Optional[Callable] = None,
-                 max_rollbacks: int = 0):
+                 max_rollbacks: int = 0,
+                 async_checkpoint: Optional[bool] = None):
         self.model = model
         self.cfg = model.cfg
         self.train_gen_factory = train_gen_factory
@@ -231,6 +232,24 @@ class Trainer:
         import threading
         self._preempt = threading.Event()
         self.preempted = False
+        # async checkpointing: save() snapshots the state ON DEVICE (cheap
+        # copy) and hands the device->host fetch + npz write to a single
+        # ordered background thread (ckpt_lib.AsyncWriter) — on relayed
+        # backends the fetch alone blocks the hot loop for hundreds of ms
+        # per save.  Joined before any restore and at end of train(), so
+        # readers never see a checkpoint mid-write (writes are atomic via
+        # tmp+rename regardless).  Default off; GGAN_ASYNC_CKPT=1 or the
+        # explicit arg enables.
+        if async_checkpoint is None:
+            async_checkpoint = os.environ.get("GGAN_ASYNC_CKPT") == "1"
+        self._ckpt_writer = ckpt_lib.AsyncWriter() if async_checkpoint \
+            else None
+        # jitted identity-copy: ONE device dispatch, zero host bytes.  A
+        # plain jnp.array() per leaf round-trips through the host on
+        # relayed backends (measured 6.7-11 s for the 79 MB wali-gp state
+        # vs 2-3 ms for this program).
+        self._snapshot_fn = jax.jit(
+            lambda t: jax.tree.map(lambda a: a.copy(), t))
         self.state = None
         self._start_iter = 0
         self._dev_fn = None
@@ -311,10 +330,17 @@ class Trainer:
 
     def save(self, iteration: int) -> str:
         path = os.path.join(self.outf, f"ckpt_{iteration}.npz")
-        out = ckpt_lib.save(path, self.state,
-                            extra={"iteration": iteration,
-                                   "rng_count": self.keys.state(),
-                                   "rng_salt": self.keys.salt})
+        extra = {"iteration": iteration,
+                 "rng_count": self.keys.state(),
+                 "rng_salt": self.keys.salt}
+        if self._ckpt_writer is not None:
+            # on-device copy: the next step donates the live buffers, so
+            # the background fetch must read an independent snapshot
+            snapshot = self._snapshot_fn(self.state)
+            self._ckpt_writer.submit(path, snapshot, extra,
+                                     after=self._gc_checkpoints)
+            return path
+        out = ckpt_lib.save(path, self.state, extra=extra)
         self._gc_checkpoints()
         return out
 
@@ -327,6 +353,8 @@ class Trainer:
             os.unlink(path)
 
     def try_resume(self) -> bool:
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.join()  # never restore a checkpoint mid-write
         path = ckpt_lib.latest(self.outf)
         if path is None:
             return False
@@ -421,6 +449,8 @@ class Trainer:
                 self.preempted = True
                 out = e.metrics
                 break
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.join()  # the final save must be durable
         self._final_flush()
         return out
 
