@@ -157,6 +157,17 @@ def main():
             rec["mfu"] = round(flops / sec_per_iter / peak, 4)
     except Exception:
         pass  # cost analysis unavailable on this backend — headline only
+    # provenance: which revision produced this number (the driver archives
+    # the line per round; a regression should name its commit)
+    try:
+        import subprocess
+        rec["git_rev"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except Exception:
+        pass
     print(json.dumps(rec))
 
 
