@@ -222,6 +222,13 @@ class Trainer:
         # restore) — a NaN at iter N corrupted everything after it.
         self.max_rollbacks = max(0, max_rollbacks or 0)
         self._rollbacks = 0
+        # fault injection (chaos drill): GGAN_FAULT_NAN_AT=<iter> poisons
+        # the OBSERVED training cost at that iteration, once — exercising
+        # the guard's detect -> restore -> re-salt -> retry machinery in a
+        # real run without corrupting actual state.  Only meaningful with
+        # max_rollbacks > 0.
+        self._fault_nan_at = int(os.environ.get("GGAN_FAULT_NAN_AT", "-1"))
+        self._fault_fired = False
         # preemption guard: request_preempt() (usually from a SIGTERM
         # handler, see install_preempt_handlers) asks the hot loop to stop
         # at the next dispatch boundary, checkpoint, and return cleanly —
@@ -555,6 +562,12 @@ class Trainer:
                                for e in self.eval_hooks))
             if boundary and pend_m:
                 vals = np.asarray(jnp.stack([v for _, _, v in pend_m]))
+                if not self._fault_fired and any(
+                        it2 == self._fault_nan_at for it2, _, _ in pend_m):
+                    self._fault_fired = True
+                    vals = vals.copy()
+                    vals[[i for i, (it2, _, _) in enumerate(pend_m)
+                          if it2 == self._fault_nan_at][0]] = np.nan
                 if self.max_rollbacks and not np.isfinite(vals).all():
                     bad = next(it2 for (it2, _, _), v2 in zip(pend_m, vals)
                                if not np.isfinite(v2))
@@ -793,6 +806,11 @@ class Trainer:
                                        for _, ms in pending])
                    for kk in names}
             window = sum(n for n, _ in pending)
+            if (not self._fault_fired
+                    and target - window <= self._fault_nan_at < target):
+                self._fault_fired = True
+                cat[names[0]][self._fault_nan_at - (target - window)] \
+                    = np.nan
             if self.max_rollbacks:
                 bad = [int(np.flatnonzero(~np.isfinite(arr))[0])
                        for arr in cat.values()

@@ -156,3 +156,45 @@ def test_guard_resident_rollback_recovers(tmp_path):
         log = f.read()
     assert "divergence guard" in log
     assert "iteration 6" in log
+
+
+# -- fault injection (chaos drill) --------------------------------------------
+
+def test_fault_injection_host_drill(tmp_path, monkeypatch):
+    """GGAN_FAULT_NAN_AT poisons one observed cost: the guard detects,
+    rolls back, re-salts, and the retry completes (fires only once)."""
+    monkeypatch.setenv("GGAN_FAULT_NAN_AT", "4")
+    tr = make_trainer(tmp_path, checkpoint_every=3, max_rollbacks=2)
+    metrics = tr.train(iters=8, resume=False)
+    assert tr._fault_fired
+    assert tr._rollbacks == 1
+    assert tr.keys.salt == 1
+    assert np.isfinite(metrics["disc_cost"])
+    assert int(tr.state.step) == 8
+    with open(os.path.join(str(tmp_path), "logfile.txt")) as f:
+        assert "iteration 4" in f.read()
+
+
+def test_fault_injection_resident_drill(tmp_path, monkeypatch):
+    monkeypatch.setenv("GGAN_FAULT_NAN_AT", "6")
+    rng = np.random.RandomState(0)
+    tr = make_trainer(tmp_path, checkpoint_every=3, max_rollbacks=2,
+                      resident_data=rng.rand(64, 784).astype("float32"),
+                      chunk_size=4)
+    metrics = tr.train(iters=9, resume=False)
+    assert tr._fault_fired
+    assert tr._rollbacks == 1
+    assert np.isfinite(metrics["disc_cost"])
+    assert int(tr.state.step) == 9
+
+
+def test_fault_injection_inert_without_guard(tmp_path, monkeypatch):
+    """Without max_rollbacks the drill only poisons the logged value —
+    training itself is untouched and completes."""
+    monkeypatch.setenv("GGAN_FAULT_NAN_AT", "2")
+    tr = make_trainer(tmp_path, checkpoint_every=3)
+    metrics = tr.train(iters=5, resume=False)
+    assert tr._fault_fired
+    assert tr._rollbacks == 0
+    assert np.isfinite(metrics["disc_cost"])
+    assert int(tr.state.step) == 5
