@@ -1,0 +1,29 @@
+"""Serving-bench machinery: runs on CPU at tiny sizes, produces sane
+records, and the export-path round trip measures the same program."""
+
+import pytest
+
+from graphical_gan_tpu.tools import bench_serving as bs
+
+
+def test_measure_family1_jit_and_export_paths():
+    recs = bs.measure("gan_inference", batches=[4, 8], depth=2, rounds=2)
+    assert [r["batch"] for r in recs] == [4, 8]
+    for r in recs:
+        assert r["path"] == "jit"
+        assert r["latency_ms"] > 0
+        assert r["samples_per_sec"] == pytest.approx(
+            r["batch"] / (r["latency_ms"] / 1e3), rel=0.01)
+
+    recs = bs.measure("gan_inference", batches=[4], depth=2, rounds=2,
+                      via_export=True)
+    assert recs[0]["path"] == "export"
+    assert recs[0]["latency_ms"] > 0
+
+
+@pytest.mark.slow
+def test_measure_video_family_reports_frames():
+    recs = bs.measure("ssgan", batches=[4], depth=1, rounds=1)
+    r = recs[0]
+    assert r["frames_per_sec"] == pytest.approx(
+        4 * 16 / (r["latency_ms"] / 1e3), rel=0.01)  # published LEN=16
