@@ -198,3 +198,33 @@ def test_fault_injection_inert_without_guard(tmp_path, monkeypatch):
     assert tr._rollbacks == 0
     assert np.isfinite(metrics["disc_cost"])
     assert int(tr.state.step) == 5
+
+
+def test_guard_rollback_under_dp_mesh(tmp_path):
+    """Rollback restores + re-places sharded state: the retry must keep
+    training on the mesh (params re-sharded by _place on restore)."""
+    import jax
+    from jax.sharding import Mesh
+
+    rng = np.random.RandomState(0)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    tr = make_trainer(tmp_path, checkpoint_every=3, max_rollbacks=2,
+                      resident_data=rng.rand(64, 784).astype("float32"),
+                      chunk_size=4, mesh=mesh, parallel="dp")
+    orig = tr._run_chunk
+    fired = {}
+
+    def rc(n, data):
+        n2, (s, ms) = orig(n, data)
+        if n2 == 2 and "done" not in fired:
+            fired["done"] = True
+            ms = dict(ms)
+            ms["disc_cost"] = ms["disc_cost"].at[0].set(jnp.nan)
+        return n2, (s, ms)
+
+    tr._run_chunk = rc
+    metrics = tr.train(iters=8, resume=False)
+    assert fired.get("done")
+    assert tr._rollbacks == 1
+    assert np.isfinite(metrics["disc_cost"])
+    assert int(tr.state.step) == 8
