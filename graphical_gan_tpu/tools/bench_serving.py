@@ -79,15 +79,12 @@ def measure(family: str, batches, depth: int, rounds: int,
     call = jax.jit(lambda key, *inp: fn(params, key, *inp))
     label = "jit"
     if via_export:
-        import tempfile
         from graphical_gan_tpu.serve import export as ex
-        with tempfile.TemporaryDirectory() as d:
-            exported = jax.export.export(
-                jax.jit(lambda key, *inp: fn(params, key, *inp)),
-                platforms=[jax.devices()[0].platform])(
-                jax.ShapeDtypeStruct((2,), jnp.uint32),
-                *ex._arg_specs(example, symbolic=True))
-            blob = exported.serialize()
+        exported = jax.export.export(
+            call, platforms=[jax.devices()[0].platform])(
+            jax.ShapeDtypeStruct((2,), jnp.uint32),
+            *ex._arg_specs(example, symbolic=True))
+        blob = exported.serialize()  # full serialize/deserialize round trip
         call = jax.export.deserialize(bytearray(blob)).call
         label = "export"
 

@@ -103,9 +103,22 @@ def _is_op_event(e) -> bool:
 
 
 def self_times(events) -> List[Tuple[dict, float]]:
-    """[(event, self_dur_us)] with children's time subtracted.  Events on
-    one lane are properly nested (complete events), so a scan with a stack
-    over (ts, -dur)-sorted events attributes every span exactly once."""
+    """[(event, self_dur_us)] with children's time subtracted.
+
+    Nesting is a PER-LANE property: events on one (pid, tid) lane are
+    properly nested complete events, but two lanes (multi-chip "XLA Ops",
+    multiple CPU executor threads) overlap freely — mixing them into one
+    stack would treat concurrent spans as parent/child and produce
+    negative self times.  Events are therefore grouped by lane and each
+    lane gets its own stack pass; results concatenate."""
+    by_lane: Dict[Tuple, List[dict]] = defaultdict(list)
+    for e in events:
+        by_lane[(e.get("pid"), e.get("tid"))].append(e)
+    if len(by_lane) > 1:
+        out: List[Tuple[dict, float]] = []
+        for lane_events in by_lane.values():
+            out.extend(self_times(lane_events))
+        return out
     evs = sorted(events, key=lambda e: (e["ts"], -e.get("dur", 0.0)))
     out: List[Tuple[dict, float]] = []
     stack: List[Tuple[dict, float, float]] = []  # (event, end, child_sum)

@@ -65,9 +65,7 @@ def restore(path: str, like: Any) -> Tuple[Any, Dict]:
 
     Returns ``(state, extra)``.
     """
-    with np.load(path, allow_pickle=False) as data:
-        header = json.loads(str(data["__header__"]))
-        flat = {k: data[k] for k in data.files if k != "__header__"}
+    flat, extra = load_raw(path)
 
     paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
     leaves = []
@@ -81,7 +79,7 @@ def restore(path: str, like: Any) -> Tuple[Any, Dict]:
                 f"shape mismatch for {key!r}: ckpt {arr.shape} vs "
                 f"state {np.shape(leaf)}")
         leaves.append(jax.numpy.asarray(arr))
-    return jax.tree_util.tree_unflatten(treedef, leaves), header["extra"]
+    return jax.tree_util.tree_unflatten(treedef, leaves), extra
 
 
 def load_raw(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:

@@ -222,6 +222,12 @@ class Trainer:
         # restore) — a NaN at iter N corrupted everything after it.
         self.max_rollbacks = max(0, max_rollbacks or 0)
         self._rollbacks = 0
+        # highest RNG salt ever used by this run (persisted in checkpoints):
+        # every rollback takes salt_high + 1, so a retry NEVER replays a
+        # salt that already diverged — including after a process restart,
+        # where a per-process counter would re-issue salt 1 and
+        # deterministically replay the failed trajectory.
+        self._salt_high = 0
         # fault injection (chaos drill): GGAN_FAULT_NAN_AT=<iter> poisons
         # the OBSERVED training cost at that iteration, once — exercising
         # the guard's detect -> restore -> re-salt -> retry machinery in a
@@ -277,10 +283,15 @@ class Trainer:
         Default: SIGTERM only — that is what TPU-VM/GCE preemptions and
         most job schedulers deliver, with a grace window this loop easily
         meets (one dispatch boundary + one checkpoint write).  SIGINT is
-        left alone so Ctrl-C still hard-kills.  The previous handler is
-        chained so outer supervisors keep observing the signal."""
+        left alone so Ctrl-C still hard-kills.  A previous FOREIGN handler
+        is chained so outer supervisors keep observing the signal; a
+        previous handler installed by an earlier Trainer is REPLACED (not
+        chained), and ``self`` is held by weakref — otherwise a long-lived
+        process calling run() repeatedly would build an unbounded handler
+        chain pinning every past Trainer (and its device state) alive."""
         import signal as _signal
         import threading
+        import weakref
         if threading.current_thread() is not threading.main_thread():
             return  # signal.signal is main-thread-only; callers in worker
             # threads (tests driving run() concurrently) just skip install
@@ -288,13 +299,20 @@ class Trainer:
             signals = (_signal.SIGTERM,)
         for sig in signals:
             prev = _signal.getsignal(sig)
+            if getattr(prev, "_ggan_preempt", False):
+                prev = getattr(prev, "_ggan_chained_prev", None)
+            ref = weakref.ref(self)
 
-            def handler(signum, frame, _prev=prev):
-                self.request_preempt()
+            def handler(signum, frame, _prev=prev, _ref=ref):
+                tr = _ref()
+                if tr is not None:
+                    tr.request_preempt()
                 if callable(_prev) and _prev not in (
                         _signal.SIG_IGN, _signal.SIG_DFL):
                     _prev(signum, frame)
 
+            handler._ggan_preempt = True
+            handler._ggan_chained_prev = prev
             _signal.signal(sig, handler)
 
     def _preempt_stop(self, iteration: int, metrics: Dict) -> None:
@@ -339,7 +357,8 @@ class Trainer:
         path = os.path.join(self.outf, f"ckpt_{iteration}.npz")
         extra = {"iteration": iteration,
                  "rng_count": self.keys.state(),
-                 "rng_salt": self.keys.salt}
+                 "rng_salt": self.keys.salt,
+                 "rng_salt_high": max(self._salt_high, self.keys.salt)}
         if self._ckpt_writer is not None:
             # on-device copy: the next step donates the live buffers, so
             # the background fetch must read an independent snapshot
@@ -377,6 +396,8 @@ class Trainer:
         self._start_iter = int(extra["iteration"]) + 1
         self.keys.restore(int(extra["rng_count"]))
         self.keys.set_salt(int(extra.get("rng_salt", 0)))
+        self._salt_high = max(self._salt_high, self.keys.salt,
+                              int(extra.get("rng_salt_high", 0)))
         # fast-forward the metric logger so post-resume logfile lines carry
         # the TRUE iteration (training already resumed correctly; only the
         # printed labels restarted at 0 before this)
@@ -415,10 +436,12 @@ class Trainer:
     def train(self, iters: Optional[int] = None,
               resume: bool = True) -> Dict[str, float]:
         iters = iters if iters is not None else self.cfg.iters
+        fresh_init = False
         if self.state is None:
             if not (resume and self.try_resume()):
                 params = self.model.init(self.keys.next())
                 self.state = self._place(self.init_state(params))
+                fresh_init = True
 
         # startup parameter-count logging (gan_inference_cifar10.py:425-428)
         total = sum(int(np.prod(p.shape))
@@ -436,10 +459,19 @@ class Trainer:
 
         # divergence-guard anchor: with no checkpoint yet, an early NaN has
         # nothing to roll back to — save the pristine initial state so the
-        # guard can always recover (ckpt_-1 resumes at iteration 0).
-        if (self.max_rollbacks > 0
-                and ckpt_lib.latest(self.outf) is None):
-            self.save(self._start_iter - 1)
+        # guard can always recover (ckpt_-1 resumes at iteration 0).  A
+        # FRESH run (resume declined) over a dir that already holds
+        # checkpoints is refused outright: a rollback would silently
+        # restore the abandoned run's state.
+        if self.max_rollbacks > 0:
+            if fresh_init and ckpt_lib.latest(self.outf) is not None:
+                raise ValueError(
+                    "divergence guard: resume=False would train fresh in "
+                    f"a directory that already holds checkpoints ({self.outf}"
+                    "); a rollback would restore the old run's state. "
+                    "Pass resume=True or use a clean run directory.")
+            if ckpt_lib.latest(self.outf) is None:
+                self.save(self._start_iter - 1)
 
         while True:
             try:
@@ -491,13 +523,17 @@ class Trainer:
 
     def _rollback(self, iteration: int) -> None:
         """Recover from a non-finite training cost at ``iteration``: restore
-        the latest checkpoint and retry on a re-salted RNG stream (different
-        random trajectory, same restored state).  Raises ``DivergenceError``
-        when the budget is exhausted or there is nothing to restore.  The
-        host-fed data stream restarts from the loader's first epoch, same as
-        a process-restart resume; resident/on-device sampling is keyed, so
-        its retry trajectory is fully determined by the new salt."""
+        the latest checkpoint and retry on a fresh RNG salt (a different
+        random trajectory, same restored state — ``salt_high + 1``, never a
+        salt that already diverged, even across process restarts).  Raises
+        ``DivergenceError`` when the budget is exhausted or there is nothing
+        to restore.  The host-fed data stream restarts from the loader's
+        first epoch, same as a process-restart resume; resident/on-device
+        sampling is keyed, so its retry trajectory is fully determined by
+        the new salt."""
         self._rollbacks += 1
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.join()  # an in-flight write IS a checkpoint
         path = ckpt_lib.latest(self.outf)
         msg = (f"divergence guard: non-finite training cost at iteration "
                f"{iteration}; rollback {self._rollbacks}/{self.max_rollbacks}")
@@ -508,12 +544,22 @@ class Trainer:
         print(msg)
         with open(self.logfile, "a") as f:
             f.write(msg + "\n")
-        # drop the unflushed window (it contains the poisoned values), then
-        # restore state + RNG position from the checkpoint
+        # detection raises BEFORE the poisoned window is plotted, so the
+        # logger holds only valid earlier values — flush them out (the
+        # retry re-logs the rolled-back span on the new salt, after the
+        # rollback marker line) before dropping the buffer
+        self._final_flush()
         self.logger = MetricLogger()
         if not self.try_resume():
             raise DivergenceError(msg + " — restore failed")
-        self.keys.set_salt(self._rollbacks)
+        if self._start_iter > iteration + 1:
+            raise DivergenceError(
+                msg + f" — latest checkpoint ({os.path.basename(path)}) is "
+                "AHEAD of the divergence point; this run directory holds "
+                "checkpoints from a different run, refusing to roll "
+                "forward into them")
+        self._salt_high += 1
+        self.keys.set_salt(self._salt_high)
 
     def _final_flush(self):
         """Eval hooks fire AFTER the per-window flush, so values plotted at
@@ -594,8 +640,16 @@ class Trainer:
                 self.save(iteration)
 
             if self._preempt.is_set():
-                if pend_m:  # drain buffered device scalars into the log
+                if pend_m:  # drain buffered device scalars into the log —
+                    # running the SAME finiteness check as the boundary
+                    # drain first, so a preemption arriving after a NaN
+                    # rolls back instead of checkpointing poisoned state
                     vals = np.asarray(jnp.stack([v for _, _, v in pend_m]))
+                    if self.max_rollbacks and not np.isfinite(vals).all():
+                        bad = next(it2 for (it2, _, _), v2
+                                   in zip(pend_m, vals)
+                                   if not np.isfinite(v2))
+                        raise _Diverged(bad)
                     for (it2, name2, _), val in zip(pend_m, vals):
                         self.logger.plot_at(name2, float(val), it2)
                     pend_m.clear()

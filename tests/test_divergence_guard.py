@@ -228,3 +228,58 @@ def test_guard_rollback_under_dp_mesh(tmp_path):
     assert tr._rollbacks == 1
     assert np.isfinite(metrics["disc_cost"])
     assert int(tr.state.step) == 8
+
+
+def test_rollback_salt_is_monotonic_across_restart(tmp_path):
+    """After a rollback to salt 1 and a resume, a SECOND divergence must
+    take a salt never used before (2), not replay the failed salt 1."""
+    tr = make_trainer(tmp_path, checkpoint_every=3, max_rollbacks=2)
+    _inject_nan_step(tr, fire_on_call=4)
+    tr.train(iters=7, resume=False)
+    assert tr.keys.salt == 1
+
+    tr2 = make_trainer(tmp_path, checkpoint_every=3, max_rollbacks=2)
+    _inject_nan_step(tr2, fire_on_call=3)    # diverge again post-restart
+    tr2.train(iters=10)
+    assert tr2._rollbacks == 1
+    assert tr2.keys.salt == 2                 # salt_high+1, not _rollbacks
+    assert tr2._salt_high == 2
+
+
+def test_preempt_after_nan_rolls_back_instead_of_checkpointing(tmp_path):
+    """A preemption arriving after a NaN must not checkpoint the poisoned
+    state: the preempt drain runs the finiteness check first."""
+    tr = make_trainer(tmp_path, checkpoint_every=3, max_rollbacks=2)
+    seen = _inject_nan_step(tr, fire_on_call=5)   # iteration 4 (not a
+    # drain boundary: boundaries here are iters 0-4 early flush... use a
+    # later, non-boundary iteration instead)
+    tr.eval_hooks = {}
+    orig = tr.step_fn
+
+    def step(state, raw, key, do_gen):
+        state, m = orig(state, raw, key, do_gen)
+        if seen["fired"] and not tr._preempt.is_set():
+            tr.request_preempt()              # preempt right after poison
+        return state, m
+
+    tr.step_fn = step
+    metrics = tr.train(iters=12, resume=False)
+    # the guard fired (rollback), and the retry then honored the pending
+    # preemption from CLEAN restored state
+    assert tr._rollbacks == 1
+    assert tr.preempted
+    assert np.isfinite(metrics["disc_cost"])
+    import glob
+    for p in glob.glob(os.path.join(str(tmp_path), "ckpt_*.npz")):
+        from graphical_gan_tpu.train import checkpoint as ckpt_lib
+        flat, _ = ckpt_lib.load_raw(p)
+        assert all(np.isfinite(a).all() for a in flat.values()
+                   if np.issubdtype(a.dtype, np.floating)), p
+
+
+def test_guard_refuses_fresh_run_over_stale_checkpoints(tmp_path):
+    t1 = make_trainer(tmp_path, checkpoint_every=2)
+    t1.train(iters=4, resume=False)           # leaves ckpt_1, ckpt_3
+    t2 = make_trainer(tmp_path, checkpoint_every=2, max_rollbacks=1)
+    with pytest.raises(ValueError, match="already holds checkpoints"):
+        t2.train(iters=6, resume=False)

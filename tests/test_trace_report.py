@@ -60,3 +60,16 @@ def test_report_on_real_trace(tmp_path):
 def test_find_trace_raises_when_missing(tmp_path):
     with pytest.raises(FileNotFoundError):
         tr.find_trace(str(tmp_path))
+
+
+def test_self_times_separates_concurrent_lanes():
+    """Two lanes overlapping in time must NOT nest into each other
+    (multi-chip traces): each lane's op keeps its full self time."""
+    evs = [
+        {"name": "opA", "ts": 0.0, "dur": 50.0, "ph": "X",
+         "pid": 1, "tid": 3},
+        {"name": "opB", "ts": 1.0, "dur": 50.0, "ph": "X",
+         "pid": 2, "tid": 3},
+    ]
+    got = {e["name"]: s for e, s in tr.self_times(evs)}
+    assert got == {"opA": 50.0, "opB": 50.0}  # not {50: 0} nesting
