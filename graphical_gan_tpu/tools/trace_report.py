@@ -76,7 +76,8 @@ def device_lanes(procs, threads) -> List[Tuple[int, int]]:
 
 _CPU_NAME_CATEGORIES = (
     ("conv", "convolution"),
-    ("dot_general", "matmul"),
+    ("dot", "matmul"),
+    ("matmul", "matmul"),
     ("all-reduce", "collective"), ("all-gather", "collective"),
     ("reduce-scatter", "collective"), ("collective", "collective"),
     ("copy", "data formatting"), ("transpose", "data formatting"),
