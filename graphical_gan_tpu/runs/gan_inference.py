@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from graphical_gan_tpu.core import registry
+from graphical_gan_tpu.core.compile_cache import enable_compile_cache
 from graphical_gan_tpu.core.config import gan_inference_defaults
 from graphical_gan_tpu.models.gan_inference import GanInferenceModel
 from graphical_gan_tpu.report.save_images import save_images
@@ -226,8 +227,11 @@ def run(dataset: str = "mnist", mode: str = "ali",
         data_pipeline: Optional[str] = None, chunk_size: Optional[int] = None,
         n_devices: Optional[int] = None, parallel: str = "dp",
         mesh_shape: Optional[str] = None, run_dir: Optional[str] = None,
-        max_rollbacks: int = 0,
+        max_rollbacks: int = 0, compile_cache: Optional[str] = None,
         **overrides):
+    # persistent XLA executable cache (also via GGAN_COMPILE_CACHE) —
+    # restarts deserialize their step programs instead of recompiling
+    enable_compile_cache(compile_cache)
     cfg = gan_inference_defaults(dataset, mode, **overrides)
     model = GanInferenceModel(cfg)
     train_gen, dev_gen = _loaders(cfg, data_dir)
@@ -356,6 +360,11 @@ def main(argv=None):
                    help="divergence guard: on a non-finite training cost, "
                         "roll back to the latest checkpoint and retry on a "
                         "re-salted RNG stream, up to N times (0 disables)")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory: "
+                        "restarts load their compiled step programs from "
+                        "disk instead of recompiling (also via "
+                        "GGAN_COMPILE_CACHE; flag wins)")
     args = p.parse_args(argv)
     overrides = {}
     if args.batch_size:
@@ -376,7 +385,8 @@ def main(argv=None):
         data_pipeline=args.data_pipeline, chunk_size=args.chunk_size,
         n_devices=args.n_devices, parallel=args.parallel,
         mesh_shape=args.mesh_shape, run_dir=args.run_dir,
-        max_rollbacks=args.max_rollbacks, **overrides)
+        max_rollbacks=args.max_rollbacks, compile_cache=args.compile_cache,
+        **overrides)
 
 
 if __name__ == "__main__":
