@@ -111,17 +111,22 @@ def conv2d(name: str, input_dim: int, output_dim: int, filter_size: int,
         mask = _make_mask2d(mtype, mchan, filter_size, input_dim, output_dim)
         w = w * jnp.asarray(mask)
 
+    # serving-side int8 context (ops/quant.py); None outside it / in calib
+    from graphical_gan_tpu.ops import quant
+    out = quant.intercept_conv2d(name, x, w, stride, padding)
+
     # The Pallas implicit-GEMM conv measured 0.92-0.99x XLA's conv on a v5e
     # (XLA already fuses the bias+act epilogue into its conv) — so unlike
     # the fused-BN kernel it is opt-in, not auto-enabled.  See
     # ops/pallas/fused_conv.py for the measurement.
     from graphical_gan_tpu.ops.pallas import use_pallas_conv
-    if biases and use_pallas_conv():
+    if out is None and biases and use_pallas_conv():
         from graphical_gan_tpu.ops.pallas import fused_conv2d_bias_act
         b = param(name + ".Biases", inits.zeros((output_dim,)))
         return fused_conv2d_bias_act(x, w, b, stride, padding, act)
 
-    out = _mxu_conv(x, w, (stride, stride), padding, _DN2D)
+    if out is None:
+        out = _mxu_conv(x, w, (stride, stride), padding, _DN2D)
 
     if biases:
         b = param(name + ".Biases", inits.zeros((output_dim,)))
@@ -159,9 +164,15 @@ def deconv2d(name: str, input_dim: int, output_dim: int, filter_size: int,
         norms = jnp.sqrt(jnp.sum(jnp.square(w), axis=(0, 1, 3)))
         w = w * (g / norms)[None, None, :, None]
 
+    # serving-side int8 context (ops/quant.py); None outside it / in calib
+    from graphical_gan_tpu.ops import quant
+    qout = quant.intercept_deconv2d(name, x, w, stride, padding)
+
     from graphical_gan_tpu.ops.phase_deconv import (use_phase_deconv,
                                                     conv_transpose_phase)
-    if stride == 2 and padding == "SAME" and use_phase_deconv():
+    if qout is not None:
+        out = qout
+    elif stride == 2 and padding == "SAME" and use_phase_deconv():
         # Exact rewrite: one stride-1 conv over the 2x2 output-phase
         # sub-kernels + depth-to-space, avoiding the input-dilated lowering
         # (3/4 structural-zero MACs).  See ops/phase_deconv.py.

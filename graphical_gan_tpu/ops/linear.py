@@ -56,12 +56,18 @@ def linear(name: str, input_dim: int, output_dim: int, x: jax.Array,
 
     # bf16 x bf16 matmuls accumulate in f32 on the TPU MXU by default; an
     # explicit preferred_element_type upcast would break the VJP dtypes.
+    # The serving-side int8 context (ops/quant.py) intercepts the 2-D dot.
+    from graphical_gan_tpu.ops import quant
+
+    def _dot(x2d):
+        q = quant.intercept_linear(name, x2d, w)
+        return jnp.dot(x2d, w.astype(x2d.dtype)) if q is None else q
+
     if x.ndim == 2:
-        out = jnp.dot(x, w.astype(x.dtype))
+        out = _dot(x)
     else:
         lead = x.shape[:-1]
-        out = jnp.dot(x.reshape(-1, input_dim), w.astype(x.dtype))
-        out = out.reshape(*lead, output_dim)
+        out = _dot(x.reshape(-1, input_dim)).reshape(*lead, output_dim)
 
     if biases:
         b = param(name + ".b", inits.zeros((output_dim,)))

@@ -90,8 +90,16 @@ def _arg_specs(example, symbolic: bool):
 def export_sampler(run_dir: str, ckpt: Optional[str] = None,
                    out: Optional[str] = None,
                    platforms: Sequence[str] = ("tpu", "cpu"),
-                   symbolic_batch: bool = True) -> dict:
-    """Export a run directory's trained sampler to a serving artifact."""
+                   symbolic_batch: bool = True,
+                   quantize: Optional[str] = None,
+                   calib_batches: int = 4, calib_seed: int = 0) -> dict:
+    """Export a run directory's trained sampler to a serving artifact.
+
+    ``quantize="int8"`` calibrates activation scales on prior-distributed
+    latents (``serve/quantize.py``) and bakes the int8 conv/deconv/matmul
+    path (``ops/quant.py``) into the exported program; weights quantize
+    per-output-channel at trace time and XLA folds them to int8 constants.
+    """
     from graphical_gan_tpu.tools.generate import rebuild, restore_params
     from graphical_gan_tpu.train import checkpoint as ckpt_lib
 
@@ -103,29 +111,45 @@ def export_sampler(run_dir: str, ckpt: Optional[str] = None,
 
     fn, example = make_sampler(family, model)
 
+    scales = None
+    if quantize == "int8":
+        from graphical_gan_tpu.serve.quantize import calibrate
+        scales = calibrate(family, model, params,
+                           jax.random.PRNGKey(calib_seed),
+                           n_batches=calib_batches)
+    elif quantize not in (None, "none"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
+
     def serving_fn(key, *inputs):
         return fn(params, key, *inputs)
 
     key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
     jitted = jax.jit(serving_fn)
-    exported = None
-    used_symbolic = False
-    if symbolic_batch:
-        try:
+    from contextlib import nullcontext
+    from graphical_gan_tpu.ops import quant
+    ctx = quant.quantized(scales) if scales is not None else nullcontext()
+    with ctx:  # quantization only needs to be active during tracing
+        exported = None
+        used_symbolic = False
+        if symbolic_batch:
+            try:
+                exported = jax_export.export(
+                    jitted, platforms=list(platforms))(
+                    key_spec, *_arg_specs(example, symbolic=True))
+                used_symbolic = True
+            except Exception:
+                exported = None  # fall back to the fixed example batch
+        if exported is None:
             exported = jax_export.export(jitted, platforms=list(platforms))(
-                key_spec, *_arg_specs(example, symbolic=True))
-            used_symbolic = True
-        except Exception:
-            exported = None  # fall back to the fixed example batch
-    if exported is None:
-        exported = jax_export.export(jitted, platforms=list(platforms))(
-            key_spec, *_arg_specs(example, symbolic=False))
+                key_spec, *_arg_specs(example, symbolic=False))
 
     outf = out or os.path.join(run_dir, "export")
     os.makedirs(outf, exist_ok=True)
     blob_path = os.path.join(outf, "sampler.jaxexport")
     with open(blob_path, "wb") as f:
         f.write(exported.serialize())
+    if scales is not None:  # provenance for the quantized artifact
+        quant.save_scales(os.path.join(outf, "act_scales.json"), scales)
 
     display = {"unit": "x", "unit_pm1": "(x+1)/2", "int_pm1": "(x+1)/2",
                "dequant": "(x+1)/2", "int256_pm1": "(x+1)/2"}
@@ -137,6 +161,7 @@ def export_sampler(run_dir: str, ckpt: Optional[str] = None,
         "checkpoint": os.path.basename(path),
         "platforms": list(platforms),
         "symbolic_batch": used_symbolic,
+        "quantization": quantize or "none",
         "inputs": [{"shape": list(a.shape), "dtype": str(a.dtype)}
                    for a in example],
         "key": "jax.random.PRNGKey (uint32[2])",
@@ -169,10 +194,18 @@ def main(argv=None):
     p.add_argument("--fixed-batch", action="store_true",
                    help="export at the config batch size instead of a "
                         "symbolic batch dim")
+    p.add_argument("--quantize", default=None, choices=["none", "int8"],
+                   help="bake the int8 serving path into the artifact "
+                        "(PTQ; activation scales calibrated on prior "
+                        "latents — see serve/quantize.py)")
+    p.add_argument("--calib-batches", type=int, default=4,
+                   help="calibration batches for --quantize int8")
     args = p.parse_args(argv)
     info = export_sampler(args.run_dir, ckpt=args.ckpt, out=args.out,
                           platforms=tuple(args.platforms.split(",")),
-                          symbolic_batch=not args.fixed_batch)
+                          symbolic_batch=not args.fixed_batch,
+                          quantize=args.quantize,
+                          calib_batches=args.calib_batches)
     print(json.dumps(info))
 
 

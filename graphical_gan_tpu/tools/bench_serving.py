@@ -66,7 +66,7 @@ def _inputs(example, n: int, key):
 
 
 def measure(family: str, batches, depth: int, rounds: int,
-            via_export: bool = False, run_dir=None):
+            via_export: bool = False, run_dir=None, quantize=None):
     model = _build(family)
     if run_dir:
         from graphical_gan_tpu.tools.generate import restore_params
@@ -75,6 +75,22 @@ def measure(family: str, batches, depth: int, rounds: int,
     else:
         params = model.init(jax.random.PRNGKey(0))
     fn, example = make_sampler(family, model)
+
+    if quantize == "int8":
+        # PTQ the serving path (ops/quant.py): calibrate once, then keep
+        # the context active whenever the sampler traces so both the jit
+        # and the --via-export artifact bake in the int8 contractions.
+        from graphical_gan_tpu.ops import quant
+        from graphical_gan_tpu.serve.quantize import calibrate
+        scales = calibrate(family, model, params, jax.random.PRNGKey(11),
+                           n_batches=2)
+        float_fn = fn
+
+        def fn(params, key, *inputs):
+            with quant.quantized(scales):
+                return float_fn(params, key, *inputs)
+    elif quantize not in (None, "none"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
 
     call = jax.jit(lambda key, *inp: fn(params, key, *inp))
     label = "jit"
@@ -105,6 +121,7 @@ def measure(family: str, batches, depth: int, rounds: int,
         frames = getattr(model.cfg, "seq_len", 1)
         results.append({
             "metric": f"{family}_serving_throughput", "path": label,
+            "quantize": quantize or "none",
             "batch": n, "latency_ms": round(best * 1e3, 3),
             "samples_per_sec": round(n / best, 1),
             **({"frames_per_sec": round(n * frames / best, 1)}
@@ -129,12 +146,15 @@ def main(argv=None) -> int:
     p.add_argument("--run-dir", default=None,
                    help="load trained params from a run dir (default: "
                         "fresh init — identical compute)")
+    p.add_argument("--quantize", default=None, choices=["none", "int8"],
+                   help="benchmark the int8 PTQ serving path "
+                        "(ops/quant.py; calibrated on prior latents)")
     args = p.parse_args(argv)
     batches = [int(b) for b in args.batches.split(",")]
     for family in args.families.split(","):
         for rec in measure(family, batches, args.depth, args.rounds,
                            via_export=args.via_export,
-                           run_dir=args.run_dir):
+                           run_dir=args.run_dir, quantize=args.quantize):
             print(json.dumps(rec))
     return 0
 

@@ -26,9 +26,16 @@ import numpy as np
 import jax
 
 
-def draw_samples(model, params, n_samples: int, batch: int = 100):
-    """Generator samples as uint8-range HWC arrays (reference protocol)."""
+def draw_samples(model, params, n_samples: int, batch: int = 100,
+                 quantize_scales=None):
+    """Generator samples as uint8-range HWC arrays (reference protocol).
+
+    ``quantize_scales`` (from ``serve.quantize.calibrate``) draws through
+    the int8 serving path instead — the instrument for measuring the
+    PTQ quality delta with the same classifier."""
+    from contextlib import nullcontext
     from graphical_gan_tpu.core import registry
+    from graphical_gan_tpu.ops import quant
     cfg = model.cfg
     h, w = cfg.data.image_hw
     c = cfg.data.channels
@@ -39,8 +46,11 @@ def draw_samples(model, params, n_samples: int, batch: int = 100):
     for i in range(n_batches):
         noise = jax.random.normal(jax.random.PRNGKey(i),
                                   (batch, cfg.dim_latent))
-        flat = registry.apply(lambda: model.sample(noise), params,
-                              jax.random.PRNGKey(i))
+        ctx = (quant.quantized(quantize_scales) if quantize_scales
+               else nullcontext())
+        with ctx:
+            flat = registry.apply(lambda: model.sample(noise), params,
+                                  jax.random.PRNGKey(i))
         x = np.asarray(flat)
         if cfg.data.normalization != "unit":
             x = (x + 1.0) * (255.0 / 2)
@@ -95,6 +105,10 @@ def main(argv=None):
     p.add_argument("--classifier-ckpt", default=None)
     p.add_argument("--classifier-dim", type=int, default=64)
     p.add_argument("--dim", type=int, default=None)
+    p.add_argument("--quantize", default=None, choices=["none", "int8"],
+                   help="score samples drawn through the int8 PTQ "
+                        "serving path (ops/quant.py) instead of the "
+                        "float sampler")
     args = p.parse_args(argv)
     if args.classifier in ("jax", "frozen") and not args.classifier_ckpt:
         p.error(f"--classifier {args.classifier} requires --classifier-ckpt")
@@ -111,7 +125,13 @@ def main(argv=None):
                                         cfg.data.image_hw,
                                         cfg.data.channels,
                                         clf_dim=args.classifier_dim)
-    imgs = draw_samples(model, state.params, args.n_samples)
+    scales = None
+    if args.quantize == "int8":
+        from graphical_gan_tpu.serve.quantize import calibrate
+        scales = calibrate("gan_inference", model, state.params,
+                           jax.random.PRNGKey(1234), n_batches=4)
+    imgs = draw_samples(model, state.params, args.n_samples,
+                        quantize_scales=scales)
     mean, std = get_inception_score(imgs, classifier, splits=args.splits)
     print(json.dumps({
         "inception_score": round(mean, 4),
@@ -120,6 +140,7 @@ def main(argv=None):
         "n_samples": len(imgs),
         "ckpt": args.ckpt,
         "ckpt_iteration": extra.get("iteration"),
+        "quantize": args.quantize or "none",
     }))
 
 

@@ -27,3 +27,20 @@ def test_measure_video_family_reports_frames():
     r = recs[0]
     assert r["frames_per_sec"] == pytest.approx(
         4 * 16 / (r["latency_ms"] / 1e3), rel=0.01)  # published LEN=16
+
+
+def test_measure_int8_quantized_path():
+    recs = bs.measure("gan_inference", batches=[4], depth=2, rounds=2,
+                      quantize="int8")
+    r = recs[0]
+    assert r["quantize"] == "int8" and r["latency_ms"] > 0
+
+    # the int8 path also survives the export round trip
+    recs = bs.measure("gan_inference", batches=[4], depth=1, rounds=1,
+                      via_export=True, quantize="int8")
+    assert recs[0]["path"] == "export"
+    assert recs[0]["quantize"] == "int8"
+
+    with pytest.raises(ValueError, match="quantize"):
+        bs.measure("gan_inference", batches=[4], depth=1, rounds=1,
+                   quantize="fp4")

@@ -40,6 +40,17 @@ def test_train_classifier_and_score_samples_pipeline(tmp_path, capsys):
     assert result["inception_score"] >= 1.0 - 1e-6
     assert "jax-metric-classifier" in result["classifier"]
 
+    # 4) the int8 serving path scores through the same instrument
+    score_main(["--ckpt", ckpt, "--dataset", "mnist", "--mode", "ali",
+                "--dim", "8", "--n-samples", "150", "--splits", "3",
+                "--classifier", "jax", "--classifier-ckpt", clf_path,
+                "--classifier-dim", "8", "--quantize", "int8"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    result_q = json.loads(out)
+    assert result_q["quantize"] == "int8"
+    assert np.isfinite(result_q["inception_score"])
+    assert result_q["inception_score"] >= 1.0 - 1e-6
+
 
 def test_corrupt_checkpoint_raises_cleanly(tmp_path):
     from graphical_gan_tpu.train import checkpoint
