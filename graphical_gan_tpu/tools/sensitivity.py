@@ -52,13 +52,26 @@ def _to_hwc(flat_int, channels, h, w):
     return x.transpose(0, 2, 3, 1).astype(np.float64)
 
 
-def draw_gan_samples(model, params, n, batch=100, seed=0):
-    """uint8-range HWC samples from a gan_inference generator."""
+def draw_gan_samples(model, params, n, batch=100, seed=0,
+                     quantize_scales=None):
+    """uint8-range HWC samples from a gan_inference generator.
+
+    ``quantize_scales`` (serve.quantize.calibrate) draws through the int8
+    serving path — entering the quant context inside the traced function
+    bakes the int8 contractions into this call's jit."""
     from graphical_gan_tpu.core import registry
     cfg = model.cfg
     h, w = cfg.data.image_hw
     c = cfg.data.channels
-    sample_j = registry.jit_apply(model.sample)
+    if quantize_scales:
+        from graphical_gan_tpu.ops import quant
+
+        def _sample_q(noise):
+            with quant.quantized(quantize_scales):
+                return model.sample(noise)
+        sample_j = registry.jit_apply(_sample_q)
+    else:
+        sample_j = registry.jit_apply(model.sample)
     out = []
     for i in range(-(-n // batch)):
         noise = jax.random.normal(jax.random.PRNGKey(seed * 7919 + i),
@@ -102,6 +115,10 @@ def main(argv=None):
     p.add_argument("--n-classes", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="also write the JSON here")
+    p.add_argument("--quantize-final", action="store_true",
+                   help="also score the FINAL checkpoint through the int8 "
+                        "PTQ serving path (ops/quant.py) — the quality-"
+                        "delta instrument for quantized serving")
     args = p.parse_args(argv)
 
     t_start = time.time()
@@ -181,11 +198,25 @@ def main(argv=None):
         curve.append(entry)
         print(json.dumps({"progress": entry}), flush=True)
 
+    final_int8 = None
+    if args.quantize_final:
+        from graphical_gan_tpu.serve.quantize import calibrate
+        scales = calibrate("gan_inference", model, state.params,
+                           jax.random.PRNGKey(1234), n_batches=4)
+        samples_q = draw_gan_samples(model, state.params, args.n_score,
+                                     seed=args.seed,
+                                     quantize_scales=scales)
+        final_int8 = {"iter": done,
+                      **_score(samples_q, feature_fn, prob_fn, real_mu,
+                               real_sigma)}
+        print(json.dumps({"final_int8": final_int8}), flush=True)
+
     rec = {
         "metric": "quality_instrument_sensitivity",
         "classifier_heldout_accuracy": round(float(heldout_acc), 4),
         "anchors": anchors,
         "curve": curve,
+        **({"final_int8": final_int8} if final_int8 else {}),
         "n_score": args.n_score,
         "config": {"dim": cfg.dim, "batch_size": cfg.batch_size,
                    "mode": cfg.mode, "compute_dtype": cfg.compute_dtype,

@@ -55,3 +55,26 @@ def test_structured_family_instruments_are_discriminating():
     # a broken generator (noise) scores FAR from the real anchor
     assert fid_noise > 5 * max(fid_held, 1e-3), (fid_noise, fid_held)
     assert fid_held < 2.0, fid_held
+
+
+@pytest.mark.slow
+def test_sensitivity_main_quantize_final(tmp_path, capsys):
+    """--quantize-final scores the final checkpoint through the int8
+    serving path with the same instrument (machinery test at tiny dims;
+    the real v5e numbers live in BASELINE.md)."""
+    import json
+    from graphical_gan_tpu.tools.sensitivity import main
+
+    out = str(tmp_path / "sens.json")
+    main(["--dim", "8", "--batch-size", "8", "--n-data", "512",
+          "--n-score", "64", "--checkpoints", "0,3", "--clf-steps", "30",
+          "--clf-dim", "8", "--compute-dtype", "float32",
+          "--quantize-final", "--out", out])
+    with open(out) as f:
+        rec = json.loads(f.read())
+    assert rec["final_int8"]["iter"] == 3
+    for k in ("is_mean", "fid"):
+        assert np.isfinite(rec["final_int8"][k]), rec["final_int8"]
+    # the int8 draw really went through quantization: scores exist for
+    # the same iter as the float curve's last point
+    assert rec["curve"][-1]["iter"] == 3
