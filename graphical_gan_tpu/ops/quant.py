@@ -101,7 +101,10 @@ def _act_scale(name: str) -> float:
 
 
 def _q8(x, scale):
-    return jnp.clip(jnp.round(x / scale), -127.0, 127.0).astype(jnp.int8)
+    # quantize in f32 — bf16 inputs would otherwise round at ~8 mantissa
+    # bits BEFORE the int rounding, compounding the quantization error
+    x32 = x.astype(jnp.float32)
+    return jnp.clip(jnp.round(x32 / scale), -127.0, 127.0).astype(jnp.int8)
 
 
 def _w_scales(w, out_axis: int):

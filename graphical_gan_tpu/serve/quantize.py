@@ -52,7 +52,10 @@ def calibrate(family: str, model, params, key,
     fn, example = make_sampler(family, model)
     n = batch_size or example[0].shape[0]
     records: Dict[str, float] = {}
-    with quant.calibrating(records):
+    # disable_jit makes control-flow primitives (ssgan's latent-chain
+    # lax.scan) execute their bodies on concrete values, so the recording
+    # intercepts see real activations instead of tracers
+    with jax.disable_jit(), quant.calibrating(records):
         for i in range(n_batches):
             key, kin, krun = jax.random.split(key, 3)
             fn(params, krun, *prior_inputs(family, model.cfg, n, kin))

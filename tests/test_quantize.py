@@ -228,3 +228,29 @@ def test_contexts_do_not_nest_and_are_inert_by_default():
     # inert: no context -> intercepts return None (float path runs)
     assert quant.intercept_conv2d("c", None, None, 1, "SAME") is None
     assert quant.intercept_linear("l", None, None) is None
+
+
+def test_sampler_quantize_ssgan_scanned_chain():
+    """ssgan's sampler runs its latent chain through lax.scan; calibration
+    must still see concrete activations (disable_jit path) and the
+    quantized video sampler must stay close to the float one."""
+    from graphical_gan_tpu.core.config import ssgan_defaults
+    from graphical_gan_tpu.models.ssgan import SSGanModel
+    from graphical_gan_tpu.serve.export import make_sampler
+    from graphical_gan_tpu.serve.quantize import calibrate, prior_inputs
+
+    cfg = ssgan_defaults("moving_mnist", "local_ep", dim=8, batch_size=4,
+                         seq_len=4)
+    model = SSGanModel(cfg)
+    params = model.init(KEY)
+    fn, _ = make_sampler("ssgan", model)
+    scales = calibrate("ssgan", model, params, jax.random.PRNGKey(1),
+                       n_batches=1)
+    assert any("Dynamic" in k for k in scales), sorted(scales)[:5]
+
+    inputs = prior_inputs("ssgan", cfg, 4, jax.random.PRNGKey(2))
+    ref = np.asarray(fn(params, KEY, *inputs))
+    with quant.quantized(scales):
+        q = np.asarray(jax.jit(lambda k, *i: fn(params, k, *i))(KEY, *inputs))
+    assert q.shape == ref.shape
+    assert float(np.abs(q - ref).mean()) < 0.1
