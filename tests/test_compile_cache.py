@@ -31,10 +31,12 @@ def restore_cache_config():
 
 def test_disabled_without_flag_or_env(restore_cache_config, monkeypatch):
     monkeypatch.delenv("GGAN_COMPILE_CACHE", raising=False)
+    before = (jax.config.jax_compilation_cache_dir,
+              jax.config.jax_persistent_cache_min_compile_time_secs)
     assert enable_compile_cache(None) is None
     # config untouched by the no-op path
-    assert jax.config.jax_compilation_cache_dir == \
-        jax.config.jax_compilation_cache_dir
+    assert (jax.config.jax_compilation_cache_dir,
+            jax.config.jax_persistent_cache_min_compile_time_secs) == before
 
 
 def test_flag_wins_over_env(restore_cache_config, tmp_path, monkeypatch):
