@@ -78,6 +78,11 @@ def make_sampler(family: str, model) -> Tuple:
     return fn, example
 
 
+def _input_kinds(family: str, cfg):
+    from graphical_gan_tpu.serve.server import input_kinds
+    return input_kinds(family, cfg)
+
+
 def _arg_specs(example, symbolic: bool):
     """ShapeDtypeStructs for the sampler inputs, batch dim symbolic if asked."""
     if not symbolic:
@@ -162,8 +167,9 @@ def export_sampler(run_dir: str, ckpt: Optional[str] = None,
         "platforms": list(platforms),
         "symbolic_batch": used_symbolic,
         "quantization": quantize or "none",
-        "inputs": [{"shape": list(a.shape), "dtype": str(a.dtype)}
-                   for a in example],
+        "inputs": [{"shape": list(a.shape), "dtype": str(a.dtype),
+                    "prior": kind}
+                   for a, kind in zip(example, _input_kinds(family, cfg))],
         "key": "jax.random.PRNGKey (uint32[2])",
         "output_to_display": display.get(norm, "x"),
     }
