@@ -491,7 +491,13 @@ def main(argv=None) -> int:
                    help="batching window after the first queued request")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip compiling every bucket before serving")
+    p.add_argument("--compile-cache", default=None,
+                   help="persistent XLA compilation cache dir (or "
+                        "GGAN_COMPILE_CACHE) — restarts of a serving "
+                        "replica warm their bucket programs from disk")
     args = p.parse_args(argv)
+    from graphical_gan_tpu.core.compile_cache import enable_compile_cache
+    enable_compile_cache(args.compile_cache)
 
     if args.run_dir:
         call, kinds, shapes, identity = sampler_from_run_dir(

@@ -119,3 +119,24 @@ def test_cli_mains_forward_compile_cache(monkeypatch):
     # default stays off
     gi.main(["--dataset", "cifar10"])
     assert calls["gi"]["compile_cache"] is None
+
+
+def test_serve_cli_forwards_compile_cache(monkeypatch):
+    """ggan-serve enables the cache before building its backend, so a
+    serving replica's bucket programs warm from disk on restart."""
+    import graphical_gan_tpu.core.compile_cache as cc
+    import graphical_gan_tpu.serve.server as srv
+
+    seen = {}
+    monkeypatch.setattr(cc, "enable_compile_cache",
+                        lambda d=None: seen.setdefault("dir", d))
+    # stop main right after the cache hookup (backend build not needed)
+    monkeypatch.setattr(
+        srv, "sampler_from_export",
+        lambda d: (_ for _ in ()).throw(SystemExit(0)))
+    try:
+        srv.main(["--export-dir", "/nonexistent", "--compile-cache",
+                  "/tmp/cc4"])
+    except SystemExit:
+        pass
+    assert seen["dir"] == "/tmp/cc4"
