@@ -284,6 +284,13 @@ class GMGanModel:
         rec_x, _, _ = networks.generator(self.cfg, q_z)
         return rec_x
 
+    def encode(self, raw_x: jax.Array) -> jax.Array:
+        """q(z|x) codes (same posterior the TSNE eval embeds,
+        ``gmgan_inference_mnist.py:534-545``)."""
+        real_x = self.normalize(raw_x)
+        q_z, _, _ = networks.extractor(self.cfg, real_x)
+        return q_z
+
     def cluster_probs(self, raw_x: jax.Array) -> jax.Array:
         """q(k|x) posteriors for the clustering-accuracy eval (``:513-531``)."""
         real_x = self.normalize(raw_x)

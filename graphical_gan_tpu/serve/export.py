@@ -18,11 +18,16 @@ Artifacts (written to ``<run_dir>/export/`` by default):
   iteration, lowering platforms, and the display-space transform for the
   outputs (families emit [-1, 1] or [0, 1] — see ``display`` field)
 
-Per family the exported callable is ``f(key, *inputs) -> images``:
+Per family the exported sampler callable is ``f(key, *inputs) -> images``:
 
 - gan_inference: ``f(key, noise[n, dim_latent])``
 - gmgan:         ``f(key, k_onehot[n, n_coms], noise[n, dim_latent])``
 - ssgan:         ``f(key, z_l_0[n, dim_l], z_g[n, dim_g][, labels])``
+
+The INFERENCE side exports too (``--entry``, see ``ENTRIES``): ``encoder``
+(x → q_z), ``cluster`` (x → q(k|x), gmgan), ``reconstructor`` (x → G(E(x)))
+— each takes RAW-space data exactly as the dataset loaders yield it and
+lands in ``<run_dir>/export_<entry>/``.
 
 The batch dim ``n`` is exported SYMBOLIC (``jax.export.symbolic_shape``)
 when possible, so one artifact serves any request size; if a model's
@@ -78,6 +83,69 @@ def make_sampler(family: str, model) -> Tuple:
     return fn, example
 
 
+#: deployable entries per family; "sampler" is the generator side, the rest
+#: deploy the INFERENCE networks — the reference repo's actual subject
+#: (joint (x, z) discrimination trains the Extractor so it can be *used*:
+#: representation extraction, clustering, reconstruction).
+ENTRIES = {
+    "gan_inference": ("sampler", "encoder", "reconstructor"),
+    "gmgan": ("sampler", "encoder", "cluster", "reconstructor"),
+    "ssgan": ("sampler", "reconstructor"),
+}
+
+#: what the entry's single output array is, for the manifest
+ENTRY_OUTPUT = {"sampler": "images", "reconstructor": "images",
+                "encoder": "latents", "cluster": "probs"}
+
+
+def make_entry(family: str, model, entry: str = "sampler") -> Tuple:
+    """(fn, example_inputs, input_kinds) for a family's serving entry.
+
+    ``entry="sampler"`` is the generator path (``make_sampler``); the image
+    entries take RAW-space data exactly as the dataset loaders yield it
+    (the model's ``normalize`` runs inside the entry):
+
+    - ``encoder``        x -> q_z            (``gan_inference_mnist.py:258``)
+    - ``cluster``        x -> q(k|x) probs   (``gmgan_inference_mnist.py:513-531``)
+    - ``reconstructor``  x -> G(E(x))        (``gan_inference_cifar10.py:400-404``)
+
+    ``input_kinds`` entries are ``"normal"`` / ``"onehot"`` (server can draw
+    them from a seed) or ``"image"`` (client must supply the array).
+    """
+    cfg = model.cfg
+    n = cfg.batch_size
+    if entry not in ENTRIES.get(family, ()):
+        raise ValueError(
+            f"family {family!r} has no entry {entry!r}; "
+            f"choose from {ENTRIES.get(family, ())}")
+    if entry == "sampler":
+        fn, example = make_sampler(family, model)
+        return fn, example, _input_kinds(family, cfg)
+
+    if family == "ssgan":  # reconstructor only (ENTRIES gates the rest)
+        x_ex = jnp.zeros((n, cfg.seq_len, cfg.output_dim), jnp.float32)
+
+        def fn(params, key, raw_x, *labels):
+            return registry.apply(
+                lambda: model.reconstruct(raw_x,
+                                          labels[0] if labels else None),
+                params, key)
+        example = (x_ex,)
+        kinds = ["image"]
+        if cfg.conditional:
+            example += (jnp.zeros((n, cfg.n_classes), jnp.float32),)
+            kinds.append("onehot")
+        return fn, example, kinds
+
+    method = {"encoder": model.encode, "reconstructor": model.reconstruct,
+              "cluster": getattr(model, "cluster_probs", None)}[entry]
+
+    def fn(params, key, raw_x):
+        return registry.apply(lambda: method(raw_x), params, key)
+    example = (jnp.zeros((n, cfg.data.output_dim), jnp.float32),)
+    return fn, example, ["image"]
+
+
 def _input_kinds(family: str, cfg):
     from graphical_gan_tpu.serve.server import input_kinds
     return input_kinds(family, cfg)
@@ -97,13 +165,21 @@ def export_sampler(run_dir: str, ckpt: Optional[str] = None,
                    platforms: Sequence[str] = ("tpu", "cpu"),
                    symbolic_batch: bool = True,
                    quantize: Optional[str] = None,
-                   calib_batches: int = 4, calib_seed: int = 0) -> dict:
-    """Export a run directory's trained sampler to a serving artifact.
+                   calib_batches: int = 4, calib_seed: int = 0,
+                   entry: str = "sampler") -> dict:
+    """Export a run directory's trained serving entry to an artifact.
+
+    ``entry`` selects what to deploy (``ENTRIES``): the generator sampler
+    (default) or the inference-side ``encoder`` / ``cluster`` /
+    ``reconstructor``.  Non-sampler artifacts land in
+    ``<run_dir>/export_<entry>/`` so a run dir can carry one of each.
 
     ``quantize="int8"`` calibrates activation scales on prior-distributed
     latents (``serve/quantize.py``) and bakes the int8 conv/deconv/matmul
     path (``ops/quant.py``) into the exported program; weights quantize
     per-output-channel at trace time and XLA folds them to int8 constants.
+    Sampler-only: the image entries' activations are data-distributed, and
+    no calibration data ships with a run dir.
     """
     from graphical_gan_tpu.tools.generate import rebuild, restore_params
     from graphical_gan_tpu.train import checkpoint as ckpt_lib
@@ -114,10 +190,14 @@ def export_sampler(run_dir: str, ckpt: Optional[str] = None,
         raise FileNotFoundError(f"no ckpt_*.npz under {run_dir}")
     params, extra = restore_params(model, path)
 
-    fn, example = make_sampler(family, model)
+    fn, example, kinds = make_entry(family, model, entry)
 
     scales = None
     if quantize == "int8":
+        if entry != "sampler":
+            raise ValueError(
+                "--quantize int8 calibrates on prior latents and applies "
+                "to the sampler entry only")
         from graphical_gan_tpu.serve.quantize import calibrate
         scales = calibrate(family, model, params,
                            jax.random.PRNGKey(calib_seed),
@@ -148,9 +228,10 @@ def export_sampler(run_dir: str, ckpt: Optional[str] = None,
             exported = jax_export.export(jitted, platforms=list(platforms))(
                 key_spec, *_arg_specs(example, symbolic=False))
 
-    outf = out or os.path.join(run_dir, "export")
+    outf = out or os.path.join(
+        run_dir, "export" if entry == "sampler" else f"export_{entry}")
     os.makedirs(outf, exist_ok=True)
-    blob_path = os.path.join(outf, "sampler.jaxexport")
+    blob_path = os.path.join(outf, f"{entry}.jaxexport")
     with open(blob_path, "wb") as f:
         f.write(exported.serialize())
     if scales is not None:  # provenance for the quantized artifact
@@ -162,6 +243,9 @@ def export_sampler(run_dir: str, ckpt: Optional[str] = None,
             else getattr(cfg, "normalization", "unit"))
     manifest = {
         "family": family,
+        "entry": entry,
+        "blob": os.path.basename(blob_path),
+        "output": ENTRY_OUTPUT[entry],
         "iteration": int(extra.get("iteration", -1)),
         "checkpoint": os.path.basename(path),
         "platforms": list(platforms),
@@ -169,14 +253,15 @@ def export_sampler(run_dir: str, ckpt: Optional[str] = None,
         "quantization": quantize or "none",
         "inputs": [{"shape": list(a.shape), "dtype": str(a.dtype),
                     "prior": kind}
-                   for a, kind in zip(example, _input_kinds(family, cfg))],
+                   for a, kind in zip(example, kinds)],
         "key": "jax.random.PRNGKey (uint32[2])",
         "output_to_display": display.get(norm, "x"),
     }
     man_path = os.path.join(outf, "manifest.json")
     with open(man_path, "w") as f:
         json.dump(manifest, f, indent=1)
-    return {"blob": blob_path, "manifest": man_path, **manifest}
+    # full paths win over the manifest's basename "blob" field
+    return {**manifest, "blob": blob_path, "manifest": man_path}
 
 
 def load_sampler(blob_path: str):
@@ -206,12 +291,18 @@ def main(argv=None):
                         "latents — see serve/quantize.py)")
     p.add_argument("--calib-batches", type=int, default=4,
                    help="calibration batches for --quantize int8")
+    p.add_argument("--entry", default="sampler",
+                   choices=["sampler", "encoder", "cluster", "reconstructor"],
+                   help="which serving entry to export: the generator "
+                        "sampler or an inference-side network (see ENTRIES "
+                        "for per-family availability)")
     args = p.parse_args(argv)
     info = export_sampler(args.run_dir, ckpt=args.ckpt, out=args.out,
                           platforms=tuple(args.platforms.split(",")),
                           symbolic_batch=not args.fixed_batch,
                           quantize=args.quantize,
-                          calib_batches=args.calib_batches)
+                          calib_batches=args.calib_batches,
+                          entry=args.entry)
     print(json.dumps(info))
 
 

@@ -28,9 +28,18 @@ TPU-shaped design decisions:
   a single completion thread fetches results in order, so device compute
   overlaps host I/O (same structure as the async checkpoint writer).
 
-Backends: a run directory (in-framework jit of the trained sampler,
+- **Inference entries.** Besides the generator sampler, the server deploys
+  the INFERENCE networks (``--entry encoder|cluster|reconstructor`` —
+  ``serve/export.ENTRIES``): x→z codes, q(k|x) cluster posteriors, and
+  G(E(x)) reconstruction — the representation-learning surface the
+  reference trains but never ships.  Image-input entries have no
+  server-side prior, so they accept npz payloads only, and padding cycles
+  the pending rows (keeps the dispatched batch data-distributed under
+  batch-stats BN) instead of drawing latents.
+
+Backends: a run directory (in-framework jit of the trained entry,
 optionally through the int8 PTQ path — ``ops/quant.py``) or an export
-directory (``sampler.jaxexport`` + manifest; runs without rebuilding the
+directory (``<entry>.jaxexport`` + manifest; runs without rebuilding the
 model).
 
 CLI::
@@ -96,6 +105,12 @@ def _draw_prior(kinds: Sequence[str], shapes: Sequence[Tuple[int, ...]],
             k = int(shape[1])
             idx = np.asarray(jax.random.randint(sub, (n,), 0, k))
             out.append(np.eye(k, dtype=np.float32)[idx])
+        elif kind == "image":
+            # data inputs have no server-side prior — the client must ship
+            # the array (npz payload); only warmup() fabricates zeros here
+            raise ValueError(
+                "this entry takes image inputs; POST an npz payload "
+                "(input0, ...) instead of a seeded JSON request")
         else:
             out.append(np.asarray(
                 jax.random.normal(sub, (n,) + tuple(shape[1:]), jnp.float32)))
@@ -214,10 +229,22 @@ class BatchingSampler:
     def warmup(self) -> None:
         """Compile every bucket program before taking traffic."""
         for b in self.buckets:
-            pad = _draw_prior(self.kinds, self.input_shapes, b,
-                              jax.random.PRNGKey(1))
+            pad = self._warmup_inputs(b)
             np.asarray(self.call(jax.random.PRNGKey(1),
                                  *[jnp.asarray(a) for a in pad]))
+
+    def _warmup_inputs(self, n: int) -> Tuple[np.ndarray, ...]:
+        """Shape-correct inputs for compilation only: prior draws for latent
+        kinds, zeros for image kinds (the values never reach a client)."""
+        key = jax.random.PRNGKey(1)
+        out = []
+        for kind, shape in zip(self.kinds, self.input_shapes):
+            if kind == "image":
+                out.append(np.zeros((n,) + tuple(shape[1:]), np.float32))
+            else:
+                out.append(_draw_prior([kind], [shape], n, key)[0])
+            key = jax.random.fold_in(key, 1)
+        return tuple(out)
 
     def snapshot(self) -> Dict:
         with self._lock:
@@ -309,11 +336,20 @@ class BatchingSampler:
                 [req.inputs[j][a:b] for req, a, b in chunk], axis=0)
                 for j in range(len(self.input_shapes))]
             if pad:
-                extra = _draw_prior(
-                    self.kinds, self.input_shapes, pad,
-                    jax.random.fold_in(self.base_key, counter))
-                parts = [np.concatenate([p, e], axis=0)
-                         for p, e in zip(parts, extra)]
+                if "image" in self.kinds:
+                    # image entries: no prior to draw from, so pad by
+                    # cycling the pending rows — the padded batch stays
+                    # data-distributed (matters under batch-stats BN), and
+                    # row tuples (e.g. video + label) stay consistent
+                    wrap = np.arange(rows, bucket) % rows
+                    parts = [np.concatenate([p, p[wrap]], axis=0)
+                             for p in parts]
+                else:
+                    extra = _draw_prior(
+                        self.kinds, self.input_shapes, pad,
+                        jax.random.fold_in(self.base_key, counter))
+                    parts = [np.concatenate([p, e], axis=0)
+                             for p, e in zip(parts, extra)]
             key = jax.random.fold_in(self.base_key, counter)
             out = np.asarray(self.call(key, *[jnp.asarray(p) for p in parts]))
             off = 0
@@ -339,10 +375,16 @@ class BatchingSampler:
 # backends
 
 def sampler_from_run_dir(run_dir: str, quantize: Optional[str] = None,
-                         ckpt: Optional[str] = None):
-    """(call, kinds, input_shapes, identity) from a trained run directory."""
+                         ckpt: Optional[str] = None,
+                         entry: str = "sampler"):
+    """(call, kinds, input_shapes, identity) from a trained run directory.
+
+    ``entry`` picks the served network (``serve.export.ENTRIES``): the
+    generator sampler or the inference side (encoder / cluster /
+    reconstructor — image-input entries, npz payloads only).
+    """
     from graphical_gan_tpu.core import registry
-    from graphical_gan_tpu.serve.export import make_sampler
+    from graphical_gan_tpu.serve.export import make_entry
     from graphical_gan_tpu.tools.generate import rebuild, restore_params
     from graphical_gan_tpu.train import checkpoint as ckpt_lib
 
@@ -351,9 +393,12 @@ def sampler_from_run_dir(run_dir: str, quantize: Optional[str] = None,
     if path is None:
         raise FileNotFoundError(f"no ckpt_*.npz under {run_dir}")
     params, extra = restore_params(model, path)
-    fn, example = make_sampler(family, model)
+    fn, example, kinds = make_entry(family, model, entry)
 
     if quantize == "int8":
+        if entry != "sampler":
+            raise ValueError("--quantize int8 calibrates on prior latents "
+                             "and applies to the sampler entry only")
         from graphical_gan_tpu.ops import quant
         from graphical_gan_tpu.serve.quantize import calibrate
         scales = calibrate(family, model, params, jax.random.PRNGKey(11))
@@ -366,12 +411,11 @@ def sampler_from_run_dir(run_dir: str, quantize: Optional[str] = None,
         raise ValueError(f"unknown quantize mode {quantize!r}")
 
     call = jax.jit(lambda key, *inp: fn(params, key, *inp))
-    identity = {"family": family, "backend": "run_dir",
+    identity = {"family": family, "entry": entry, "backend": "run_dir",
                 "checkpoint": os.path.basename(path),
                 "iteration": int(extra.get("iteration", -1)),
                 "quantization": quantize or "none"}
-    return (call, input_kinds(family, cfg),
-            [tuple(a.shape) for a in example], identity)
+    return call, kinds, [tuple(a.shape) for a in example], identity
 
 
 def sampler_from_export(export_dir: str):
@@ -384,10 +428,12 @@ def sampler_from_export(export_dir: str):
 
     with open(os.path.join(export_dir, "manifest.json")) as f:
         manifest = json.load(f)
-    call = load_sampler(os.path.join(export_dir, "sampler.jaxexport"))
+    call = load_sampler(os.path.join(
+        export_dir, manifest.get("blob", "sampler.jaxexport")))
     kinds = [inp.get("prior", "normal") for inp in manifest["inputs"]]
     shapes = [tuple(inp["shape"]) for inp in manifest["inputs"]]
     identity = {"family": manifest["family"], "backend": "export",
+                "entry": manifest.get("entry", "sampler"),
                 "iteration": manifest.get("iteration", -1),
                 "quantization": manifest.get("quantization", "none"),
                 "symbolic_batch": manifest.get("symbolic_batch", False)}
@@ -480,6 +526,13 @@ def main(argv=None) -> int:
     src.add_argument("--export-dir",
                      help="serve a jax.export artifact directory")
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--entry", default="sampler",
+                   choices=["sampler", "encoder", "cluster", "reconstructor"],
+                   help="which network to serve (run-dir backend; export "
+                        "artifacts carry their own entry): the generator "
+                        "sampler, or the inference side — encoder x->z, "
+                        "cluster x->q(k|x), reconstructor x->G(E(x)). "
+                        "Image-input entries take npz payloads only")
     p.add_argument("--quantize", default=None, choices=["none", "int8"],
                    help="int8 PTQ path (run-dir backend; export artifacts "
                         "carry their own quantization)")
@@ -501,7 +554,8 @@ def main(argv=None) -> int:
 
     if args.run_dir:
         call, kinds, shapes, identity = sampler_from_run_dir(
-            args.run_dir, quantize=args.quantize, ckpt=args.ckpt)
+            args.run_dir, quantize=args.quantize, ckpt=args.ckpt,
+            entry=args.entry)
     else:
         call, kinds, shapes, identity = sampler_from_export(args.export_dir)
 

@@ -95,6 +95,102 @@ def test_export_gmgan(tmp_path):
     assert out.shape[0] == n and np.isfinite(out).all()
 
 
+def test_export_inference_entries(tmp_path):
+    """encoder / reconstructor entries: the deployed INFERENCE networks
+    (``serve/export.ENTRIES``) equal the in-framework forwards on raw-space
+    data.  svhn/ali: bn off + TYPE_Q no_std -> deterministic, so equality
+    is assertable row-for-row."""
+    from graphical_gan_tpu.core.config import gan_inference_defaults
+    from graphical_gan_tpu.models.gan_inference import GanInferenceModel
+    from graphical_gan_tpu.serve.export import export_sampler as export_entry
+
+    cfg = gan_inference_defaults("svhn", "ali", dim=8, batch_size=8)
+    model = GanInferenceModel(cfg)
+    run_dir, state = _run_dir(tmp_path, cfg, model, "inf_run")
+
+    key = jax.random.PRNGKey(3)
+    for entry, method, out_kind in (("encoder", model.encode, "latents"),
+                                    ("reconstructor", model.reconstruct,
+                                     "images")):
+        info = export_entry(run_dir, platforms=("cpu",), entry=entry)
+        assert info["entry"] == entry
+        assert info["output"] == out_kind
+        assert info["inputs"][0]["prior"] == "image"
+        assert os.path.basename(info["blob"]) == f"{entry}.jaxexport"
+        assert f"export_{entry}" in info["blob"]  # no sampler collision
+
+        call = load_sampler(info["blob"])
+        n = 3 if info["symbolic_batch"] else cfg.batch_size
+        raw = jnp.asarray(np.random.RandomState(0).randint(
+            0, 256, size=(n, cfg.data.output_dim)), jnp.float32)
+        served = np.asarray(call(key, raw))
+        direct = np.asarray(registry.apply(lambda: method(raw),
+                                           state.params, key))
+        np.testing.assert_allclose(served, direct, atol=1e-5)
+    assert (np.asarray(load_sampler(os.path.join(
+        str(tmp_path / "inf_run"), "export_encoder", "encoder.jaxexport"))(
+        key, jnp.zeros((2, cfg.data.output_dim)))).shape[1]
+        == cfg.dim_latent)
+
+    # int8 PTQ calibrates on prior latents -> sampler-only, stated up front
+    import pytest
+    with pytest.raises(ValueError, match="sampler entry only"):
+        export_entry(run_dir, platforms=("cpu",), entry="encoder",
+                     quantize="int8")
+
+
+def test_export_gmgan_cluster_entry(tmp_path):
+    """x -> q(k|x): the clustering-accuracy posterior
+    (``gmgan_inference_mnist.py:513-531``) as a deployable artifact."""
+    from graphical_gan_tpu.core.config import gmgan_defaults
+    from graphical_gan_tpu.models.gmgan import GMGanModel
+    from graphical_gan_tpu.serve.export import export_sampler as export_entry
+
+    cfg = gmgan_defaults("svhn", "ali", dim=8, batch_size=8, n_coms=5)
+    model = GMGanModel(cfg)
+    run_dir, state = _run_dir(tmp_path, cfg, model, "gm_cluster")
+    info = export_entry(run_dir, platforms=("cpu",), entry="cluster")
+    assert info["output"] == "probs"
+    call = load_sampler(info["blob"])
+    n = 4 if info["symbolic_batch"] else cfg.batch_size
+    raw = jnp.asarray(np.random.RandomState(1).randint(
+        0, 256, size=(n, cfg.data.output_dim)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    probs = np.asarray(call(key, raw))
+    assert probs.shape == (n, cfg.n_coms)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+    direct = np.asarray(registry.apply(lambda: model.cluster_probs(raw),
+                                       state.params, key))
+    np.testing.assert_allclose(probs, direct, atol=1e-5)
+
+
+def test_export_ssgan_reconstructor_entry(tmp_path):
+    """Video reconstruction G(E(x)) with conditional labels: inputs are
+    (raw video, onehot) — manifest kinds ["image", "onehot"]."""
+    from graphical_gan_tpu.core.config import ssgan_defaults
+    from graphical_gan_tpu.models.ssgan import SSGanModel
+    from graphical_gan_tpu.serve.export import export_sampler as export_entry
+
+    cfg = ssgan_defaults("moving_mnist", "local_ep", dim=8, dim_op=16,
+                         batch_size=4, seq_len=4)
+    model = SSGanModel(cfg)
+    run_dir, state = _run_dir(tmp_path, cfg, model, "ss_rec")
+    info = export_entry(run_dir, platforms=("cpu",), entry="reconstructor")
+    assert [i["prior"] for i in info["inputs"]] == ["image", "onehot"]
+    call = load_sampler(info["blob"])
+    n = 2 if info["symbolic_batch"] else cfg.batch_size
+    rng = np.random.RandomState(2)
+    raw = jnp.asarray(rng.rand(n, cfg.seq_len, cfg.output_dim), jnp.float32)
+    y = jnp.asarray(np.eye(cfg.n_classes, dtype="float32")[
+        rng.randint(0, cfg.n_classes, size=n)])
+    key = jax.random.PRNGKey(0)
+    out = np.asarray(call(key, raw, y))
+    assert out.shape[0] == n and np.isfinite(out).all()
+    direct = np.asarray(registry.apply(lambda: model.reconstruct(raw, y),
+                                       state.params, key))
+    np.testing.assert_allclose(out, direct, atol=1e-5)
+
+
 def test_export_ssgan(tmp_path):
     from graphical_gan_tpu.core.config import ssgan_defaults
     from graphical_gan_tpu.models.ssgan import SSGanModel

@@ -235,6 +235,82 @@ def test_export_dir_backend(tmp_path):
         b.close()
 
 
+def test_image_entry_batched_serving():
+    """Inference-side serving: a reconstructor entry behind the dynamic
+    batcher.  svhn/ali (bn off, TYPE_Q no_std) makes the forward
+    deterministic and row-independent, so the row-cycling pad policy adds
+    nothing beyond shape-dependent float noise (the extractor's convs
+    reassociate across batch shapes — observed <=1e-6 abs, vs the
+    generator-only sampler which is bit-exact); seeded JSON-style requests
+    must be refused (there is no server-side prior over images)."""
+    from graphical_gan_tpu.serve.export import make_entry
+
+    cfg = gan_inference_defaults("svhn", "ali", dim=8, batch_size=8)
+    model = GanInferenceModel(cfg)
+    params = model.init(KEY)
+    fn, example, kinds = make_entry("gan_inference", model, "reconstructor")
+    assert kinds == ["image"]
+    call = jax.jit(lambda key, *inp: fn(params, key, *inp))
+    b = BatchingSampler(call, kinds, [a.shape for a in example],
+                        buckets=(4, 8), max_wait_ms=20.0)
+    try:
+        b.warmup()  # zero-image warmup inputs compile every bucket
+        raw = np.random.RandomState(0).randint(
+            0, 256, size=(3, cfg.data.output_dim)).astype(np.float32)
+        out = b.submit(inputs=[raw]).wait(timeout=120)
+        direct = np.asarray(registry.apply(
+            lambda: model.reconstruct(jnp.asarray(raw)), params, KEY))
+        np.testing.assert_allclose(out, direct, atol=1e-5)
+        assert b.snapshot()["padded_rows"] == 1
+
+        # exact mode: key derives from the request seed alone
+        e1 = b.sample_exact(inputs=[raw], seed=9)
+        e2 = b.sample_exact(inputs=[raw], seed=9)
+        np.testing.assert_array_equal(e1, e2)
+
+        with pytest.raises(ValueError, match="npz payload"):
+            b.submit(n=2, seed=0)
+        with pytest.raises(ValueError, match="npz payload"):
+            b.sample_exact(n=2, seed=0)
+    finally:
+        b.close()
+
+
+def test_image_entry_export_dir_backend(tmp_path):
+    """An encoder export round-trips through the export-dir server backend:
+    manifest entry/blob/kinds drive the server with no model rebuild."""
+    from graphical_gan_tpu.serve.export import export_sampler
+    from graphical_gan_tpu.train import checkpoint as ckpt_lib
+    from graphical_gan_tpu.train.step import make_train_step
+
+    cfg = gan_inference_defaults("svhn", "ali", dim=8, batch_size=8)
+    model = GanInferenceModel(cfg)
+    params = model.init(KEY)
+    run_dir = tmp_path / "run"
+    os.makedirs(run_dir)
+    with open(run_dir / "config.json", "w") as f:
+        json.dump(asdict(cfg), f, default=str)
+    _, init_state = make_train_step(model, jit=False)
+    ckpt_lib.save(str(run_dir / "ckpt_3.npz"), init_state(params),
+                  {"iteration": 3})
+
+    info = export_sampler(str(run_dir), platforms=("cpu",), entry="encoder")
+    ecall, kinds, shapes, identity = sampler_from_export(
+        os.path.dirname(info["blob"]))
+    assert identity["entry"] == "encoder"
+    assert kinds == ["image"]
+    b = BatchingSampler(ecall, kinds, shapes, buckets=(4,), max_wait_ms=20.0)
+    try:
+        raw = np.random.RandomState(7).randint(
+            0, 256, size=(2, cfg.data.output_dim)).astype(np.float32)
+        z = b.submit(inputs=[raw]).wait(timeout=120)
+        direct = np.asarray(registry.apply(
+            lambda: model.encode(jnp.asarray(raw)), params, KEY))
+        np.testing.assert_allclose(z, direct, atol=1e-5)
+    finally:
+        b.close()
+
+
 def test_input_validation_surfaces_to_waiter():
     cfg, model, params, call, example = _tiny()
     b = _batcher(call, cfg, example)
