@@ -154,13 +154,20 @@ class BatchingSampler:
                  input_shapes: Sequence[Tuple[int, ...]],
                  buckets: Sequence[int] = (8, 64, 256),
                  max_wait_ms: float = 5.0,
-                 base_key: Optional[jax.Array] = None):
+                 base_key: Optional[jax.Array] = None,
+                 dp_devices: int = 1):
         self.call = call
         self.kinds = list(kinds)
         self.input_shapes = [tuple(s) for s in input_shapes]
         self.buckets = sorted(set(int(b) for b in buckets))
         if not self.buckets:
             raise ValueError("need at least one bucket size")
+        self.dp = max(int(dp_devices), 1)
+        if any(b % self.dp for b in self.buckets):
+            raise ValueError(
+                f"every bucket must be divisible by dp_devices={self.dp} "
+                f"(got {self.buckets}) — dispatched batches shard over the "
+                "batch axis")
         self.max_wait = max_wait_ms / 1e3
         self.base_key = (base_key if base_key is not None
                          else jax.random.PRNGKey(0))
@@ -219,6 +226,11 @@ class BatchingSampler:
             inputs = _draw_prior(self.kinds, self.input_shapes, int(n),
                                  jax.random.PRNGKey(int(seed)))
         inputs = tuple(np.asarray(a, np.float32) for a in inputs)
+        if inputs[0].shape[0] % self.dp:
+            raise ValueError(
+                f"exact mode dispatches unpadded, so the request size must "
+                f"be divisible by dp_devices={self.dp} "
+                f"(got {inputs[0].shape[0]})")
         out = np.asarray(self.call(jax.random.PRNGKey(int(seed)),
                                    *[jnp.asarray(a) for a in inputs]))
         with self._lock:
@@ -376,12 +388,21 @@ class BatchingSampler:
 
 def sampler_from_run_dir(run_dir: str, quantize: Optional[str] = None,
                          ckpt: Optional[str] = None,
-                         entry: str = "sampler"):
+                         entry: str = "sampler",
+                         dp_devices: Optional[int] = None):
     """(call, kinds, input_shapes, identity) from a trained run directory.
 
     ``entry`` picks the served network (``serve.export.ENTRIES``): the
     generator sampler or the inference side (encoder / cluster /
     reconstructor — image-input entries, npz payloads only).
+
+    ``dp_devices=N`` shards every dispatched batch over the first N local
+    devices (1-D data mesh, params replicated): scale-out inference where
+    one replica's buckets span chips over ICI.  GSPMD keeps the semantics
+    global — batch-stats BN reduces across the whole dispatched batch, so
+    outputs match single-device serving up to reduction order.  Bucket
+    sizes must be divisible by N (the batcher enforces it), and exact-mode
+    requests must be too, since they dispatch unpadded.
     """
     from graphical_gan_tpu.core import registry
     from graphical_gan_tpu.serve.export import make_entry
@@ -410,11 +431,23 @@ def sampler_from_run_dir(run_dir: str, quantize: Optional[str] = None,
     elif quantize not in (None, "none"):
         raise ValueError(f"unknown quantize mode {quantize!r}")
 
-    call = jax.jit(lambda key, *inp: fn(params, key, *inp))
     identity = {"family": family, "entry": entry, "backend": "run_dir",
                 "checkpoint": os.path.basename(path),
                 "iteration": int(extra.get("iteration", -1)),
                 "quantization": quantize or "none"}
+    if dp_devices and dp_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from graphical_gan_tpu.parallel.mesh import make_mesh, replicate
+        mesh = make_mesh(dp_devices)
+        repl = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P("data"))
+        params = replicate(mesh, params)
+        call = jax.jit(lambda key, *inp: fn(params, key, *inp),
+                       in_shardings=(repl,) + (shard,) * len(example),
+                       out_shardings=shard)
+        identity["dp_devices"] = int(dp_devices)
+    else:
+        call = jax.jit(lambda key, *inp: fn(params, key, *inp))
     return call, kinds, [tuple(a.shape) for a in example], identity
 
 
@@ -536,6 +569,10 @@ def main(argv=None) -> int:
     p.add_argument("--quantize", default=None, choices=["none", "int8"],
                    help="int8 PTQ path (run-dir backend; export artifacts "
                         "carry their own quantization)")
+    p.add_argument("--dp-devices", type=int, default=1,
+                   help="shard dispatched batches over the first N local "
+                        "devices (1-D data mesh, params replicated; "
+                        "run-dir backend). Buckets must be divisible by N")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8787)
     p.add_argument("--buckets", default="8,64,256",
@@ -555,14 +592,17 @@ def main(argv=None) -> int:
     if args.run_dir:
         call, kinds, shapes, identity = sampler_from_run_dir(
             args.run_dir, quantize=args.quantize, ckpt=args.ckpt,
-            entry=args.entry)
+            entry=args.entry, dp_devices=args.dp_devices)
     else:
+        if args.dp_devices > 1:
+            raise SystemExit("--dp-devices applies to the run-dir backend "
+                             "(export artifacts carry their own lowering)")
         call, kinds, shapes, identity = sampler_from_export(args.export_dir)
 
     batcher = BatchingSampler(
         call, kinds, shapes,
         buckets=[int(b) for b in args.buckets.split(",")],
-        max_wait_ms=args.max_wait_ms)
+        max_wait_ms=args.max_wait_ms, dp_devices=args.dp_devices)
     if not args.no_warmup:
         t0 = time.perf_counter()
         batcher.warmup()

@@ -311,6 +311,53 @@ def test_image_entry_export_dir_backend(tmp_path):
         b.close()
 
 
+def test_dp_serving_matches_single_device(tmp_path):
+    """Scale-out serving: dispatched batches shard over a 2-device data
+    mesh (params replicated).  mnist/ali keeps BN ON, so GSPMD must reduce
+    the batch statistics ACROSS devices for outputs to match the
+    single-device server — which this asserts.  Divisibility contracts:
+    buckets and exact-mode request sizes must split over the mesh."""
+    from graphical_gan_tpu.serve.server import sampler_from_run_dir
+    from graphical_gan_tpu.train import checkpoint as ckpt_lib
+    from graphical_gan_tpu.train.step import make_train_step
+
+    cfg = gan_inference_defaults("mnist", "ali", dim=8, batch_size=8)
+    assert cfg.bn
+    model = GanInferenceModel(cfg)
+    params = model.init(KEY)
+    run_dir = tmp_path / "run"
+    os.makedirs(run_dir)
+    with open(run_dir / "config.json", "w") as f:
+        json.dump(asdict(cfg), f, default=str)
+    _, init_state = make_train_step(model, jit=False)
+    ckpt_lib.save(str(run_dir / "ckpt_1.npz"), init_state(params),
+                  {"iteration": 1})
+
+    single, kinds, shapes, ident1 = sampler_from_run_dir(str(run_dir))
+    sharded, _, _, ident2 = sampler_from_run_dir(str(run_dir), dp_devices=2)
+    assert "dp_devices" not in ident1 and ident2["dp_devices"] == 2
+
+    noise = jnp.asarray(np.random.RandomState(0).randn(
+        8, cfg.dim_latent), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    np.testing.assert_allclose(np.asarray(sharded(key, noise)),
+                               np.asarray(single(key, noise)), atol=1e-5)
+
+    # divisibility contracts
+    with pytest.raises(ValueError, match="divisible"):
+        BatchingSampler(sharded, kinds, shapes, buckets=(3, 8), dp_devices=2)
+    b = BatchingSampler(sharded, kinds, shapes, buckets=(4, 8),
+                        max_wait_ms=20.0, dp_devices=2)
+    try:
+        with pytest.raises(ValueError, match="divisible"):
+            b.sample_exact(n=3, seed=0)
+        # an odd request pads to an even bucket and dispatches sharded
+        out = b.submit(inputs=[np.asarray(noise[:3])]).wait(timeout=120)
+        assert out.shape[0] == 3 and np.isfinite(out).all()
+    finally:
+        b.close()
+
+
 def test_input_validation_surfaces_to_waiter():
     cfg, model, params, call, example = _tiny()
     b = _batcher(call, cfg, example)
