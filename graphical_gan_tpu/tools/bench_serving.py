@@ -2,8 +2,10 @@
 
 BASELINE.md's measured tables are all TRAINING numbers; this tool measures
 the deployment path: the per-family serving entry (``serve/export.py:
-make_sampler`` — the same function ``jax.export`` serializes) under
-hard-fetch timing on the current backend, across request batch sizes.
+make_entry`` — the same function ``jax.export`` serializes; ``--entry``
+picks the generator sampler or the inference side
+encoder/cluster/reconstructor) under hard-fetch timing on the current
+backend, across request batch sizes.
 Optionally round-trips through a real exported artifact
 (``--via-export``) to pin that the serialized StableHLO path performs
 identically to the in-framework jit.
@@ -30,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from graphical_gan_tpu.core import registry  # noqa: F401 (families import)
-from graphical_gan_tpu.serve.export import make_sampler
+from graphical_gan_tpu.serve.export import make_entry
 
 
 def _build(family: str):
@@ -53,12 +55,14 @@ def _build(family: str):
     raise ValueError(family)
 
 
-def _inputs(example, n: int, key):
+def _inputs(example, kinds, n: int, key):
     out = []
-    for a in example:
+    for a, kind in zip(example, kinds):
         key, sub = jax.random.split(key)
         shape = (n,) + tuple(a.shape[1:])
-        if jnp.issubdtype(a.dtype, jnp.floating):
+        if kind == "image":  # raw-space pixels (values don't affect timing)
+            out.append(jax.random.uniform(sub, shape, a.dtype, 0.0, 255.0))
+        elif jnp.issubdtype(a.dtype, jnp.floating):
             out.append(jax.random.normal(sub, shape, a.dtype))
         else:
             out.append(jnp.zeros(shape, a.dtype))
@@ -66,7 +70,8 @@ def _inputs(example, n: int, key):
 
 
 def measure(family: str, batches, depth: int, rounds: int,
-            via_export: bool = False, run_dir=None, quantize=None):
+            via_export: bool = False, run_dir=None, quantize=None,
+            entry: str = "sampler"):
     model = _build(family)
     if run_dir:
         from graphical_gan_tpu.tools.generate import restore_params
@@ -74,9 +79,12 @@ def measure(family: str, batches, depth: int, rounds: int,
         params, _ = restore_params(model, ckpt_lib.latest(run_dir))
     else:
         params = model.init(jax.random.PRNGKey(0))
-    fn, example = make_sampler(family, model)
+    fn, example, kinds = make_entry(family, model, entry)
 
     if quantize == "int8":
+        if entry != "sampler":
+            raise ValueError("--quantize int8 applies to the sampler entry "
+                             "only (calibration is prior-latent-based)")
         # PTQ the serving path (ops/quant.py): calibrate once, then keep
         # the context active whenever the sampler traces so both the jit
         # and the --via-export artifact bake in the int8 contractions.
@@ -106,7 +114,7 @@ def measure(family: str, batches, depth: int, rounds: int,
 
     results = []
     for n in batches:
-        inp = _inputs(example, n, jax.random.PRNGKey(7))
+        inp = _inputs(example, kinds, n, jax.random.PRNGKey(7))
         key = jax.random.PRNGKey(1)
         np.asarray(call(key, *inp))  # compile + warm, outside the clock
         best = float("inf")
@@ -119,8 +127,10 @@ def measure(family: str, batches, depth: int, rounds: int,
             best = min(best, (time.perf_counter() - t0) / depth)
         # video family: one sample is a LEN-frame video
         frames = getattr(model.cfg, "seq_len", 1)
+        name = (f"{family}_serving_throughput" if entry == "sampler"
+                else f"{family}_{entry}_serving_throughput")
         results.append({
-            "metric": f"{family}_serving_throughput", "path": label,
+            "metric": name, "path": label, "entry": entry,
             "quantize": quantize or "none",
             "batch": n, "latency_ms": round(best * 1e3, 3),
             "samples_per_sec": round(n / best, 1),
@@ -149,12 +159,17 @@ def main(argv=None) -> int:
     p.add_argument("--quantize", default=None, choices=["none", "int8"],
                    help="benchmark the int8 PTQ serving path "
                         "(ops/quant.py; calibrated on prior latents)")
+    p.add_argument("--entry", default="sampler",
+                   choices=["sampler", "encoder", "cluster", "reconstructor"],
+                   help="which serving entry to measure (per-family "
+                        "availability: serve/export.ENTRIES)")
     args = p.parse_args(argv)
     batches = [int(b) for b in args.batches.split(",")]
     for family in args.families.split(","):
         for rec in measure(family, batches, args.depth, args.rounds,
                            via_export=args.via_export,
-                           run_dir=args.run_dir, quantize=args.quantize):
+                           run_dir=args.run_dir, quantize=args.quantize,
+                           entry=args.entry):
             print(json.dumps(rec))
     return 0
 

@@ -44,3 +44,16 @@ def test_measure_int8_quantized_path():
     with pytest.raises(ValueError, match="quantize"):
         bs.measure("gan_inference", batches=[4], depth=1, rounds=1,
                    quantize="fp4")
+
+
+def test_measure_inference_entry():
+    """--entry reconstructor: image-kind inputs drive the E->G forward and
+    the record is labeled as the entry's own metric."""
+    recs = bs.measure("gan_inference", batches=[4], depth=1, rounds=1,
+                      entry="reconstructor")
+    r = recs[0]
+    assert r["metric"] == "gan_inference_reconstructor_serving_throughput"
+    assert r["entry"] == "reconstructor" and r["latency_ms"] > 0
+    with pytest.raises(ValueError, match="sampler entry only"):
+        bs.measure("gan_inference", batches=[4], depth=1, rounds=1,
+                   entry="reconstructor", quantize="int8")
