@@ -55,5 +55,9 @@ class SamplerClient:
                 self.base + "/sample", data=body, method="POST",
                 headers={"Content-Type": "application/json"})
         with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            meta = json.loads(r.headers.get("X-GGAN-Meta", "{}"))
             data = np.load(io.BytesIO(r.read()))
-            return data["images"]
+            # servers key the array by the entry's output name ('latents',
+            # 'probs', ...); 'images' is kept as a compatibility alias
+            name = meta.get("output", "images")
+            return data[name if name in data else "images"]

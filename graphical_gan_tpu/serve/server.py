@@ -202,6 +202,8 @@ class BatchingSampler:
                                  jax.random.PRNGKey(int(seed)))
         inputs = tuple(np.asarray(a, np.float32) for a in inputs)
         rows = inputs[0].shape[0]
+        if rows == 0:
+            raise ValueError("request has zero rows; send at least one")
         for a, shape in zip(inputs, self.input_shapes):
             if a.shape[0] != rows or a.shape[1:] != shape[1:]:
                 raise ValueError(
@@ -226,6 +228,8 @@ class BatchingSampler:
             inputs = _draw_prior(self.kinds, self.input_shapes, int(n),
                                  jax.random.PRNGKey(int(seed)))
         inputs = tuple(np.asarray(a, np.float32) for a in inputs)
+        if inputs[0].shape[0] == 0:
+            raise ValueError("request has zero rows; send at least one")
         if inputs[0].shape[0] % self.dp:
             raise ValueError(
                 f"exact mode dispatches unpadded, so the request size must "
@@ -431,7 +435,9 @@ def sampler_from_run_dir(run_dir: str, quantize: Optional[str] = None,
     elif quantize not in (None, "none"):
         raise ValueError(f"unknown quantize mode {quantize!r}")
 
+    from graphical_gan_tpu.serve.export import ENTRY_OUTPUT
     identity = {"family": family, "entry": entry, "backend": "run_dir",
+                "output": ENTRY_OUTPUT.get(entry, "images"),
                 "checkpoint": os.path.basename(path),
                 "iteration": int(extra.get("iteration", -1)),
                 "quantization": quantize or "none"}
@@ -467,6 +473,7 @@ def sampler_from_export(export_dir: str):
     shapes = [tuple(inp["shape"]) for inp in manifest["inputs"]]
     identity = {"family": manifest["family"], "backend": "export",
                 "entry": manifest.get("entry", "sampler"),
+                "output": manifest.get("output", "images"),
                 "iteration": manifest.get("iteration", -1),
                 "quantization": manifest.get("quantization", "none"),
                 "symbolic_batch": manifest.get("symbolic_batch", False)}
@@ -530,18 +537,23 @@ def make_http_server(batcher: BatchingSampler, identity: Dict,
                     kw = dict(
                         inputs=inputs,
                         seed=int(self.headers.get("X-GGAN-Seed", "0")))
+                out_name = identity.get("output", "images")
                 if exact:
                     images = batcher.sample_exact(**kw)
-                    meta = {"mode": "exact"}
+                    meta = {"mode": "exact", "output": out_name}
                 else:
                     req = batcher.submit(**kw)
                     images = req.wait(timeout=request_timeout)
-                    meta = {"mode": "batched",
+                    meta = {"mode": "batched", "output": out_name,
                             "latency_ms": round(req.latency_ms, 3)}
             except Exception as e:  # noqa: BLE001 — report to the client
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
-            body = _npz_bytes(images=images)
+            # key the array by the entry's declared output; 'images' stays
+            # as an alias so existing clients keep working
+            arrays = {out_name: images}
+            arrays.setdefault("images", images)
+            body = _npz_bytes(**arrays)
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Content-Length", str(len(body)))

@@ -62,6 +62,10 @@ def _inputs(example, kinds, n: int, key):
         shape = (n,) + tuple(a.shape[1:])
         if kind == "image":  # raw-space pixels (values don't affect timing)
             out.append(jax.random.uniform(sub, shape, a.dtype, 0.0, 255.0))
+        elif kind == "onehot":  # in-domain labels, mirrors server._draw_prior
+            k = int(shape[1])
+            idx = jax.random.randint(sub, (n,), 0, k)
+            out.append(jnp.eye(k, dtype=a.dtype)[idx])
         elif jnp.issubdtype(a.dtype, jnp.floating):
             out.append(jax.random.normal(sub, shape, a.dtype))
         else:

@@ -366,5 +366,60 @@ def test_input_validation_surfaces_to_waiter():
             b.submit(inputs=[np.zeros((2, cfg.dim_latent + 1), np.float32)])
         with pytest.raises(ValueError):
             b.submit()
+        # zero-row requests are rejected up front (a 0-row image batch
+        # would hit a divide-by-zero in the pad-cycling `% rows`)
+        with pytest.raises(ValueError, match="zero rows"):
+            b.submit(inputs=[np.zeros((0, cfg.dim_latent), np.float32)])
+        with pytest.raises(ValueError, match="zero rows"):
+            b.sample_exact(inputs=[np.zeros((0, cfg.dim_latent),
+                                            np.float32)])
     finally:
+        b.close()
+
+
+def test_http_response_keyed_by_entry_output():
+    """A non-image-output entry (encoder -> 'latents') keys the response
+    array by the manifest output name, keeps 'images' as a client alias,
+    and advertises the name in X-GGAN-Meta."""
+    import io
+    import urllib.request
+    from graphical_gan_tpu.serve.export import ENTRY_OUTPUT, make_entry
+
+    cfg = gan_inference_defaults("svhn", "ali", dim=8, batch_size=8)
+    model = GanInferenceModel(cfg)
+    params = model.init(KEY)
+    fn, example, kinds = make_entry("gan_inference", model, "encoder")
+    call = jax.jit(lambda key, *inp: fn(params, key, *inp))
+    b = BatchingSampler(call, kinds, [a.shape for a in example],
+                        buckets=(4, 8), max_wait_ms=20.0)
+    identity = {"family": "gan_inference", "entry": "encoder",
+                "output": ENTRY_OUTPUT["encoder"]}
+    httpd = make_http_server(b, identity, port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        raw = np.random.RandomState(0).randint(
+            0, 256, size=(2, cfg.data.output_dim)).astype(np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, input0=raw)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{httpd.server_address[1]}/sample",
+            data=buf.getvalue(), method="POST",
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            meta = json.loads(r.headers["X-GGAN-Meta"])
+            data = np.load(io.BytesIO(r.read()))
+        assert meta["output"] == "latents"
+        assert set(data.files) == {"latents", "images"}
+        np.testing.assert_array_equal(data["latents"], data["images"])
+        assert data["latents"].shape == (2, cfg.dim_latent)
+
+        # the stdlib client resolves the output name transparently
+        from graphical_gan_tpu.serve.client import SamplerClient
+        cl = SamplerClient(f"http://127.0.0.1:{httpd.server_address[1]}")
+        out = cl.sample(inputs=[raw])
+        np.testing.assert_array_equal(out, data["latents"])
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
         b.close()
