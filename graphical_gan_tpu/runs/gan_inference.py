@@ -31,8 +31,40 @@ from graphical_gan_tpu.report.save_images import save_images
 from graphical_gan_tpu.train.trainer import Trainer, make_run_dir
 
 
+def _structured_pool(cfg, n_classes: int = 10, seed: int = 0,
+                     n_train: int = 20000, n_eval: int = 2000):
+    """LEARNABLE labeled synthetic family (``data.synthetic.
+    structured_images_labeled``) in the dataset's own batch convention.
+    On a zero-egress host the default fallback data is structureless noise,
+    so quality instruments (IS/FID at the ``gan_inference_cifar10.py:484-487``
+    cadence) pin to their floor; this family is learnable and makes the
+    curve a real signal.  Returns ``(train, dev, pools)`` where pools are
+    the raw ``(train_flat, train_y, eval_flat, eval_y)`` arrays for
+    training the hermetic metric classifier."""
+    from graphical_gan_tpu.data.common import generator_factory
+    from graphical_gan_tpu.data import synthetic
+    h, w = cfg.data.image_hw
+    c = cfg.data.channels
+    n = n_train + 2 * n_eval
+    flat, y = synthetic.structured_images_labeled(n, (h, w), c,
+                                                  n_classes, seed)
+    if cfg.data.normalization == "unit":     # mnist convention: float [0,1]
+        feed = (flat / 255.0).astype(np.float32)
+    else:                                    # cifar/svhn: raw int pixels
+        feed = flat
+    sl = [slice(0, n_train), slice(n_train, n_train + n_eval),
+          slice(n_train + n_eval, n)]
+    tr, dv = (generator_factory(cfg.batch_size, feed[s], y[s], seed=i + 1)
+              for i, s in enumerate(sl[:2]))
+    pools = (flat[sl[0]], y[sl[0]], flat[sl[2]], y[sl[2]])
+    return tr, dv, pools
+
+
 def _loaders(cfg, data_dir: Optional[str]):
     from graphical_gan_tpu import data
+    if data_dir == "structured":
+        tr, dv, _pools = _structured_pool(cfg)
+        return tr, dv
     if cfg.dataset == "mnist":
         train, dev, _test = data.mnist.load(cfg.batch_size, cfg.batch_size)
         return train, dev
@@ -219,6 +251,72 @@ def make_inception_hook(model, n_samples: int = 50000,
     return hook
 
 
+def make_structured_quality_hook(model, pools, n_score: int = 10000,
+                                 sample_batch: int = 100,
+                                 clf_steps: int = 2000, clf_dim: int = 32,
+                                 n_classes: int = 10, seed: int = 0):
+    """Hermetic IS/FID at the reference's inception cadence
+    (``gan_inference_cifar10.py:484-487``) for ``--data-dir structured``
+    runs: a ``MetricClassifier`` is trained ONCE on the structured train
+    pool (lazily, at the hook's first firing) and every firing scores
+    ``n_score`` fresh generator samples against it — IS via the exact
+    10-split exp-mean-KL protocol (``tflib/inception_score.py:47-53``) and
+    FID against the train pool's feature Gaussian.  The classifier's
+    held-out accuracy is logged once as the instrument's validity check."""
+    cfg = model.cfg
+    h, w = cfg.data.image_hw
+    c = cfg.data.channels
+    state = {}
+
+    def _ensure_instrument(trainer):
+        if "prob_fn" in state:
+            return
+        from graphical_gan_tpu.metrics.fid import gaussian_stats
+        from graphical_gan_tpu.metrics.jax_classifier import MetricClassifier
+        train_flat, train_y, eval_flat, eval_y = pools
+        clf = MetricClassifier(image_hw=(h, w), channels=c,
+                               n_classes=n_classes, dim=clf_dim)
+        clf_params = clf.fit(train_flat, train_y, steps=clf_steps,
+                             seed=seed)
+        acc = clf.accuracy(clf_params, eval_flat, eval_y)
+        trainer.logger.plot("metric classifier heldout acc", float(acc))
+        state["feature_fn"] = clf.as_feature_fn(clf_params)
+        state["prob_fn"] = clf.as_prob_fn(clf_params)
+        real = np.asarray(train_flat[:n_score]).reshape(-1, c, h, w)
+        real = real.transpose(0, 2, 3, 1).astype(np.float64)
+        state["real_mu"], state["real_sigma"] = gaussian_stats(
+            state["feature_fn"](real))
+
+    def hook(trainer, iteration):
+        from graphical_gan_tpu.metrics.fid import (frechet_distance,
+                                                   gaussian_stats)
+        from graphical_gan_tpu.metrics.inception import get_inception_score
+        _ensure_instrument(trainer)
+        sample_j = registry.jit_apply(model.sample)
+        imgs = []
+        for i in range(-(-n_score // sample_batch)):
+            noise = jax.random.normal(jax.random.PRNGKey(i),
+                                      (sample_batch, cfg.dim_latent))
+            flat = np.asarray(sample_j(trainer.params,
+                                       jax.random.PRNGKey(i), noise))
+            if cfg.data.normalization == "unit":   # sigmoid output [0,1]
+                x = flat * 255.0
+            else:                                  # tanh output [-1,1]
+                x = (flat + 1.0) * (255.0 / 2)
+            x = np.clip(x, 0, 255).reshape(-1, c, h, w).transpose(0, 2, 3, 1)
+            imgs.extend(list(x))
+        imgs = imgs[:n_score]
+        mean, std = get_inception_score(imgs, state["prob_fn"])
+        mu, sigma = gaussian_stats(state["feature_fn"](np.asarray(imgs)))
+        fid = frechet_distance(state["real_mu"], state["real_sigma"],
+                               mu, sigma)
+        trainer.logger.plot("inception score", float(mean))
+        trainer.logger.plot("inception score std", float(std))
+        trainer.logger.plot("fid", float(fid))
+
+    return hook
+
+
 def run(dataset: str = "mnist", mode: str = "ali",
         iters: Optional[int] = None, data_dir: Optional[str] = None,
         outdir: str = "result", seed: int = 0,
@@ -234,7 +332,11 @@ def run(dataset: str = "mnist", mode: str = "ali",
     enable_compile_cache(compile_cache)
     cfg = gan_inference_defaults(dataset, mode, **overrides)
     model = GanInferenceModel(cfg)
-    train_gen, dev_gen = _loaders(cfg, data_dir)
+    structured_pools = None
+    if data_dir == "structured":
+        train_gen, dev_gen, structured_pools = _structured_pool(cfg)
+    else:
+        train_gen, dev_gen = _loaders(cfg, data_dir)
 
     # Input pipeline: every gan_inference dataset fits in HBM, so the
     # default is the on-device resident dataset (one upload, batches drawn
@@ -258,7 +360,7 @@ def run(dataset: str = "mnist", mode: str = "ali",
     # tflib's Saver was write-only)
     outf = run_dir or make_run_dir(outdir, f"gan_inference_{dataset}",
                                    {"MODE": mode})
-    if dataset == "cifar10":
+    if dataset == "cifar10" and data_dir != "structured":
         # fixed seed-1234 test-set reconstruction batch
         # (tflib/cifar10.py:14-19; gan_inference_cifar10.py:400-404)
         from graphical_gan_tpu.data.cifar10 import get_reconstruction_data
@@ -281,7 +383,12 @@ def run(dataset: str = "mnist", mode: str = "ali",
     add_hook(hooks, sample_every, make_eval_hooks(model, fixed_dev))
     if tsne_every:
         add_hook(hooks, tsne_every, make_tsne_hook(model, dev_gen))
-    if dataset == "cifar10" and inception_every:
+    if structured_pools is not None and inception_every:
+        # hermetic instrument: the structured family ships its own
+        # classifier, so IS/FID are real numbers on a zero-egress host
+        add_hook(hooks, inception_every,
+                 make_structured_quality_hook(model, structured_pools))
+    elif dataset == "cifar10" and inception_every:
         add_hook(hooks, inception_every, make_inception_hook(model))
     trainer = Trainer(
         model, train_gen, dev_gen, outf=outf, seed=seed,
