@@ -326,6 +326,7 @@ def run(dataset: str = "mnist", mode: str = "ali",
         n_devices: Optional[int] = None, parallel: str = "dp",
         mesh_shape: Optional[str] = None, run_dir: Optional[str] = None,
         max_rollbacks: int = 0, compile_cache: Optional[str] = None,
+        checkpoint_backend: str = "npz",
         **overrides):
     # persistent XLA executable cache (also via GGAN_COMPILE_CACHE) —
     # restarts deserialize their step programs instead of recompiling
@@ -400,6 +401,7 @@ def run(dataset: str = "mnist", mode: str = "ali",
         resident_data=resident, chunk_size=chunk_size,
         mesh=_maybe_mesh(n_devices, parallel, mesh_shape), parallel=parallel,
         max_rollbacks=max_rollbacks,
+        checkpoint_backend=checkpoint_backend,
     )
     # TPU-VM preemptions deliver SIGTERM with a grace window: checkpoint at
     # the next dispatch boundary and exit cleanly (resume via --run-dir).
@@ -472,6 +474,12 @@ def main(argv=None):
                         "restarts load their compiled step programs from "
                         "disk instead of recompiling (also via "
                         "GGAN_COMPILE_CACHE; flag wins)")
+    p.add_argument("--checkpoint-backend", default="npz",
+                   choices=["npz", "orbax"],
+                   help="npz = single-host atomic file (supports the "
+                        "pp<->standard migration); orbax = sharded/"
+                        "multi-host writes (each shard saved by its "
+                        "owning process)")
     args = p.parse_args(argv)
     overrides = {}
     if args.batch_size:
@@ -493,6 +501,7 @@ def main(argv=None):
         n_devices=args.n_devices, parallel=args.parallel,
         mesh_shape=args.mesh_shape, run_dir=args.run_dir,
         max_rollbacks=args.max_rollbacks, compile_cache=args.compile_cache,
+        checkpoint_backend=args.checkpoint_backend,
         **overrides)
 
 

@@ -241,6 +241,7 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
         n_devices: Optional[int] = None, parallel: str = "dp",
         mesh_shape: Optional[str] = None, run_dir: Optional[str] = None,
         max_rollbacks: int = 0, compile_cache: Optional[str] = None,
+        checkpoint_backend: str = "npz",
         **overrides):
     # persistent XLA executable cache (also via GGAN_COMPILE_CACHE) --
     # restarts deserialize their step programs instead of recompiling
@@ -285,7 +286,8 @@ def run(dataset: str = "mnist", mode: str = "local_ep",
                       eval_hooks={eval_every: combined},
                       resident_data=resident, chunk_size=chunk_size,
                       mesh=_maybe_mesh(n_devices, parallel, mesh_shape),
-                      parallel=parallel, max_rollbacks=max_rollbacks)
+                      parallel=parallel, max_rollbacks=max_rollbacks,
+                      checkpoint_backend=checkpoint_backend)
     # SIGTERM (preemption) -> checkpoint + clean exit; resume via --run-dir
     trainer.install_preempt_handlers()
     metrics = trainer.train(iters)
@@ -338,6 +340,11 @@ def main(argv=None):
                         "restarts load their compiled step programs "
                         "from disk instead of recompiling (also via "
                         "GGAN_COMPILE_CACHE; flag wins)")
+    p.add_argument("--checkpoint-backend", default="npz",
+                   choices=["npz", "orbax"],
+                   help="npz = single-host atomic file; orbax = "
+                        "sharded/multi-host writes (each shard saved "
+                        "by its owning process)")
     args = p.parse_args(argv)
     overrides = {"mode_k": args.mode_k}
     if args.n_coms:
@@ -353,7 +360,8 @@ def main(argv=None):
         n_devices=args.n_devices, parallel=args.parallel,
         mesh_shape=args.mesh_shape, run_dir=args.run_dir,
         max_rollbacks=args.max_rollbacks,
-        compile_cache=args.compile_cache, **overrides)
+        compile_cache=args.compile_cache,
+        checkpoint_backend=args.checkpoint_backend, **overrides)
 
 
 if __name__ == "__main__":

@@ -42,6 +42,10 @@ def draw_samples(model, params, n_samples: int, batch: int = 100,
     if n_samples <= 0:
         raise ValueError("n_samples must be positive")
     n_batches = -(-n_samples // batch)  # ceil, then trim to exactly n_samples
+    # one jitted closure per call (and therefore per arm): the quantized
+    # context rewrites the TRACE, so the int8 arm must not share a jit
+    # cache with the float arm — jit_apply builds a fresh wrapper
+    sample_j = registry.jit_apply(model.sample)
     imgs = []
     for i in range(n_batches):
         noise = jax.random.normal(jax.random.PRNGKey(i),
@@ -49,8 +53,7 @@ def draw_samples(model, params, n_samples: int, batch: int = 100,
         ctx = (quant.quantized(quantize_scales) if quantize_scales
                else nullcontext())
         with ctx:
-            flat = registry.apply(lambda: model.sample(noise), params,
-                                  jax.random.PRNGKey(i))
+            flat = sample_j(params, jax.random.PRNGKey(i), noise)
         x = np.asarray(flat)
         if cfg.data.normalization != "unit":
             x = (x + 1.0) * (255.0 / 2)

@@ -43,8 +43,22 @@ def _path_str(p) -> str:
     return str(p)
 
 
+def is_orbax(path: str) -> bool:
+    """Orbax checkpoints are DIRECTORIES named ``*.orbax`` (npz ones are
+    single files); both formats coexist in one run dir and every consumer
+    (resume, rollback, serving, generate) dispatches through here."""
+    return path.rstrip("/").endswith(".orbax")
+
+
 def save(path: str, state: Any, extra: Optional[Dict] = None) -> str:
-    """Atomically write ``state`` (any pytree) + JSON-able ``extra`` metadata."""
+    """Atomically write ``state`` (any pytree) + JSON-able ``extra`` metadata.
+
+    ``*.orbax`` paths dispatch to the orbax backend (multi-host / sharded
+    states — each shard written by its owning process); anything else is
+    the single-host npz format."""
+    if is_orbax(path):
+        from graphical_gan_tpu.train import checkpoint_orbax
+        return checkpoint_orbax.save(path, state, extra)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     flat = _flatten(state)
     header = {"extra": extra or {}, "keys": sorted(flat)}
@@ -63,8 +77,13 @@ def save(path: str, state: Any, extra: Optional[Dict] = None) -> str:
 def restore(path: str, like: Any) -> Tuple[Any, Dict]:
     """Load a checkpoint into the structure of ``like`` (same treedef).
 
-    Returns ``(state, extra)``.
+    Returns ``(state, extra)``.  ``*.orbax`` checkpoint directories restore
+    through the orbax backend — pass a SHARDED ``like`` (e.g. the trainer's
+    placed state) to restore each shard directly to its owning device.
     """
+    if is_orbax(path):
+        from graphical_gan_tpu.train import checkpoint_orbax
+        return checkpoint_orbax.restore(path, like)
     flat, extra = load_raw(path)
 
     paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
@@ -85,7 +104,14 @@ def restore(path: str, like: Any) -> Tuple[Any, Dict]:
 def load_raw(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:
     """Load a checkpoint as its flat ``{keypath: array}`` dict + extra
     metadata, without requiring a ``like`` structure — format inspection
-    for cross-strategy conversion (``Trainer.try_resume``)."""
+    for cross-strategy conversion (``Trainer.try_resume``).  npz only:
+    orbax checkpoints restore by structure, so the pp<->standard format
+    bridge (which needs raw inspection) is an npz capability."""
+    if is_orbax(path):
+        raise ValueError(
+            f"{path!r} is an orbax checkpoint; raw keypath inspection "
+            "(pp<->standard migration) requires the npz format — "
+            "checkpoint with backend='npz' when migrating across pp")
     with np.load(path, allow_pickle=False) as data:
         header = json.loads(str(data["__header__"]))
         flat = {k: data[k] for k in data.files if k != "__header__"}
@@ -135,20 +161,37 @@ class AsyncWriter:
 
 
 def list_checkpoints(dirpath: str, prefix: str = "ckpt_"):
-    """Sorted [(step, path)] of well-formed ``<prefix><step>.npz`` files;
-    files that don't parse (e.g. manual ``ckpt_best.npz`` copies) are
-    ignored."""
+    """Sorted [(step, path)] of well-formed ``<prefix><step>.npz`` files
+    and ``<prefix><step>.orbax`` directories; names that don't parse
+    (e.g. manual ``ckpt_best.npz`` copies) are ignored."""
     if not os.path.isdir(dirpath):
         return []
     out = []
     for fn in os.listdir(dirpath):
-        if fn.startswith(prefix) and fn.endswith(".npz"):
-            try:
-                step = int(fn[len(prefix):-4])
-            except ValueError:
-                continue
-            out.append((step, os.path.join(dirpath, fn)))
+        if not fn.startswith(prefix):
+            continue
+        for ext in (".npz", ".orbax"):
+            if fn.endswith(ext):
+                try:
+                    step = int(fn[len(prefix):-len(ext)])
+                except ValueError:
+                    break
+                out.append((step, os.path.join(dirpath, fn)))
+                break
     return sorted(out)
+
+
+def remove(path: str) -> None:
+    """Delete one checkpoint artifact: an npz file, or an orbax directory
+    plus its sidecar ``.extra.json`` (checkpoint GC's unit of work)."""
+    if is_orbax(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        extra = path.rstrip("/") + ".extra.json"
+        if os.path.exists(extra):
+            os.unlink(extra)
+        return
+    os.unlink(path)
 
 
 def latest(dirpath: str, prefix: str = "ckpt_") -> Optional[str]:

@@ -98,7 +98,8 @@ class Trainer:
                  render_curves: Optional[bool] = None,
                  batch_sampler: Optional[Callable] = None,
                  max_rollbacks: int = 0,
-                 async_checkpoint: Optional[bool] = None):
+                 async_checkpoint: Optional[bool] = None,
+                 checkpoint_backend: str = "npz"):
         self.model = model
         self.cfg = model.cfg
         self.train_gen_factory = train_gen_factory
@@ -212,6 +213,17 @@ class Trainer:
         # eval_every=0) — drop it here so the `% every` checks never see 0
         self.checkpoint_every = max(0, checkpoint_every or 0)
         self.checkpoints_to_keep = checkpoints_to_keep
+        # checkpoint backend: 'npz' (single-host atomic file; supports the
+        # pp<->standard raw-format migration) or 'orbax' (each shard
+        # written by its owning process/device — the multi-host & sharded
+        # story; restore resharding comes from the `like` placement).
+        # Both formats coexist in one run dir; resume dispatches on the
+        # artifact itself, so a run may switch backends between restarts.
+        if checkpoint_backend not in ("npz", "orbax"):
+            raise ValueError(f"unknown checkpoint_backend "
+                             f"{checkpoint_backend!r} (npz|orbax)")
+        self.checkpoint_backend = checkpoint_backend
+        self._ckpt_ext = "." + checkpoint_backend
         self.eval_hooks = {e: h for e, h in (eval_hooks or {}).items()
                            if e > 0}
         # divergence guard: max_rollbacks > 0 checks every drained training
@@ -354,7 +366,7 @@ class Trainer:
     # -- checkpoint ---------------------------------------------------------
 
     def save(self, iteration: int) -> str:
-        path = os.path.join(self.outf, f"ckpt_{iteration}.npz")
+        path = os.path.join(self.outf, f"ckpt_{iteration}{self._ckpt_ext}")
         extra = {"iteration": iteration,
                  "rng_count": self.keys.state(),
                  "rng_salt": self.keys.salt,
@@ -376,7 +388,7 @@ class Trainer:
             return
         for _, path in ckpt_lib.list_checkpoints(
                 self.outf)[:-self.checkpoints_to_keep]:
-            os.unlink(path)
+            ckpt_lib.remove(path)
 
     def try_resume(self) -> bool:
         if self._ckpt_writer is not None:
@@ -412,14 +424,21 @@ class Trainer:
         the current strategy needs (parallel/pipeline.py converters)."""
         from graphical_gan_tpu.parallel import pipeline as pp_lib
 
-        flat, _ = ckpt_lib.load_raw(path)
-        is_pp_ckpt = "k:packed" in flat
         is_pp_run = self.mesh is not None and self.parallel == "pp"
-        if is_pp_ckpt == is_pp_run:
-            raise ValueError(
-                f"checkpoint {path!r} does not match the current model "
-                "state structure (and is not a pp<->standard format "
-                "difference)")
+        if ckpt_lib.is_orbax(path):
+            # orbax restores by structure, so there is no cheap raw
+            # inspection; the direction is already fixed by the CURRENT
+            # strategy (a mismatched ckpt can only be the other format) —
+            # a genuinely incompatible state surfaces orbax's own error.
+            pass
+        else:
+            flat, _ = ckpt_lib.load_raw(path)
+            is_pp_ckpt = "k:packed" in flat
+            if is_pp_ckpt == is_pp_run:
+                raise ValueError(
+                    f"checkpoint {path!r} does not match the current model "
+                    "state structure (and is not a pp<->standard format "
+                    "difference)")
         if is_pp_run:
             std_init = make_train_step(self.model, critic_iters=self.k,
                                        jit=False)[1]

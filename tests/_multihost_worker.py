@@ -66,6 +66,24 @@ def main():
     out = {"mode": mode, "pid": pid,
            "gen_cost": float(metrics["gen_cost"]),
            "disc_cost": float(metrics["disc_cost"])}
+
+    if mode == "multi" and len(sys.argv) > 4:
+        # 2-process orbax checkpoint: every process calls save() (orbax
+        # coordinates the shard writes; extra json written by process 0),
+        # then restores into the placed structure and checks a param leaf
+        # round-tripped and kept its sharding
+        from graphical_gan_tpu.train import checkpoint
+        path = sys.argv[4]
+        assert checkpoint.is_orbax(path)
+        checkpoint.save(path, state, extra={"iteration": 1})
+        restored, extra = checkpoint.restore(path, state)
+        assert extra == {"iteration": 1}
+        name = next(iter(state.params))
+        np.testing.assert_array_equal(np.asarray(restored.params[name]),
+                                      np.asarray(state.params[name]))
+        out["orbax_ok"] = True
+        out["orbax_extra_iteration"] = extra["iteration"]
+
     print("RESULT " + json.dumps(out))
 
 
