@@ -119,10 +119,27 @@ def extractor(cfg, x_flat: jax.Array
         z = linear("Extractor.Output", feat, cfg.dim_latent, h)
         return z, None, None
 
+    h = extractor_front(cfg, x)
+    return extractor_back(cfg, h, batch=x_flat.shape[0])
+
+
+def extractor_front(cfg, x):
+    """Convs 1-2 (+BN2) of the generic extractor — the stage-0 trunk cut
+    for deeper pipeline-parallel stage splits (parallel/pipeline.py:
+    build_family1_stages4).  Identical math to the monolithic extractor;
+    it merely names the split point."""
     dim = cfg.dim
-    h = conv2d("Extractor.1", ch, dim, 5, x, stride=2, act="leaky_relu")
+    h = conv2d("Extractor.1", cfg.data.channels, dim, 5, x, stride=2,
+               act="leaky_relu")
     h = conv2d("Extractor.2", dim, 2 * dim, 5, h, stride=2)
-    h = _bn_act(cfg.bn, "Extractor.BN2", h, "leaky_relu")
+    return _bn_act(cfg.bn, "Extractor.BN2", h, "leaky_relu")
+
+
+def extractor_back(cfg, h, batch: int
+                   ) -> Tuple[jax.Array, Optional[jax.Array],
+                              Optional[jax.Array]]:
+    """Conv 3 (+BN3) + the TYPE_Q heads of the generic extractor."""
+    dim = cfg.dim
     h = conv2d("Extractor.3", 2 * dim, 4 * dim, 5, h, stride=2)
     h = _bn_act(cfg.bn, "Extractor.BN3", h, "leaky_relu")
     feat = 4 * 4 * 4 * dim
@@ -132,8 +149,7 @@ def extractor(cfg, x_flat: jax.Array
         log_std = linear("Extractor.Std", feat, cfg.dim_latent, h)
         std = jnp.exp(log_std)
     elif cfg.type_q == "fix_std":
-        std = jnp.full((x_flat.shape[0], cfg.dim_latent), cfg.std,
-                       dtype=jnp.float32)
+        std = jnp.full((batch, cfg.dim_latent), cfg.std, dtype=jnp.float32)
     else:
         std = None
 
@@ -188,25 +204,8 @@ def discriminator_xz(cfg, x_flat: jax.Array, z: jax.Array) -> jax.Array:
 
     if cfg.dataset in ("cifar10", "svhn"):
         # gan_inference_cifar10.py:232-259 — dropout instead of BN, single zx
-        dim = cfg.dim
-        h = conv2d("Discriminator.1", ch, dim, 5, x, stride=2, act="leaky_relu")
-        h = dropout(h, dr)
-        h = conv2d("Discriminator.2", dim, 2 * dim, 5, h, stride=2, act="leaky_relu")
-        h = dropout(h, dr)
-        h = conv2d("Discriminator.3", 2 * dim, 4 * dim, 5, h,
-                              stride=2, act="leaky_relu")
-        h = dropout(h, dr)
-        feat = 4 * 4 * 4 * dim
-        h = h.reshape(-1, feat)
-
-        hz = leaky_relu(linear("Discriminator.z1", cfg.dim_latent, 512, z))
-        hz = dropout(hz, dr)
-
-        h = jnp.concatenate([h, hz], axis=1)
-        h = leaky_relu(linear("Discriminator.zx1", feat + 512, 512, h))
-        h = dropout(h, dr)
-        out = linear("Discriminator.Output", 512, 1, h)
-        return out.reshape(-1)
+        h = discriminator_x_trunk(cfg, x)
+        return discriminator_xz_head(cfg, h, z)
 
     if cfg.dataset == "celeba":
         # gan_inference_face.py:119-146 — 4 conv stages
@@ -229,6 +228,40 @@ def discriminator_xz(cfg, x_flat: jax.Array, z: jax.Array) -> jax.Array:
         return out.reshape(-1)
 
     raise ValueError(cfg.dataset)
+
+
+def discriminator_x_trunk(cfg, x):
+    """The cifar10/svhn joint discriminator's conv trunk (3 k5s2 convs +
+    dropout) — the stage-2 cut for deeper pipeline stage splits
+    (parallel/pipeline.py: build_family1_stages4).  Returns the flattened
+    [B, 4*4*4*dim] feature; identical math to the monolithic path."""
+    dr = cfg.dropout_rate
+    dim = cfg.dim
+    ch = cfg.data.channels
+    h = conv2d("Discriminator.1", ch, dim, 5, x, stride=2, act="leaky_relu")
+    h = dropout(h, dr)
+    h = conv2d("Discriminator.2", dim, 2 * dim, 5, h, stride=2,
+               act="leaky_relu")
+    h = dropout(h, dr)
+    h = conv2d("Discriminator.3", 2 * dim, 4 * dim, 5, h, stride=2,
+               act="leaky_relu")
+    h = dropout(h, dr)
+    feat = 4 * 4 * 4 * dim
+    return h.reshape(-1, feat)
+
+
+def discriminator_xz_head(cfg, h_feat, z: jax.Array) -> jax.Array:
+    """The cifar10/svhn joint discriminator's (x, z) tail: z branch,
+    concat, zx trunk, output."""
+    dr = cfg.dropout_rate
+    feat = 4 * 4 * 4 * cfg.dim
+    hz = leaky_relu(linear("Discriminator.z1", cfg.dim_latent, 512, z))
+    hz = dropout(hz, dr)
+    h = jnp.concatenate([h_feat, hz], axis=1)
+    h = leaky_relu(linear("Discriminator.zx1", feat + 512, 512, h))
+    h = dropout(h, dr)
+    out = linear("Discriminator.Output", 512, 1, h)
+    return out.reshape(-1)
 
 
 def discriminator_z(cfg, z: jax.Array) -> jax.Array:

@@ -46,9 +46,19 @@ backward never crosses the pipeline boundary); family 2 (gmgan) with ali
 and local_ep (the published gmgan mode), all MODE_K paths — see
 ``build_gmgan_stages``.  These train graphs never
 execute rec_x/rec_z (TF runs only fetched subgraphs; the reconstruction ops
-are eval-only), so stage 0 computes exactly the fetched forward.  Scales:
-``make_pp_train_step`` is where deeper cuts (intra-network stage splits)
-slot in when a model family outgrows one chip's HBM.
+are eval-only), so stage 0 computes exactly the fetched forward.
+
+Deeper cuts: ``build_family1_stages4`` splits the conv trunks INSIDE the
+networks into a 4-stage cut (Extractor trunk | Extractor tail + Generator |
+Discriminator trunk | Discriminator tail) for cifar10/svhn ali; the
+scheduler, masked player-Adam and state layout are stage-count-generic
+(``make_pp_train_step(n_stages=...)``, defaulting to the mesh's stage-axis
+size, so ``--parallel pp --mesh-shape 4`` selects it from the CLI).
+Exactness vs the sequential staged math is pinned in
+tests/test_pipeline_parallel.py (losses and gradients through three
+ppermute boundaries).  Cross-strategy checkpoint migration
+(pp<->standard) remains a 2-stage npz capability; 4-stage runs resume
+4-stage checkpoints directly.
 """
 
 from __future__ import annotations
@@ -282,21 +292,161 @@ def build_stages(model):
     return build_family1_stages(model)
 
 
+# ---------------------------------------------------------------------------
+# Deeper cut: 4-stage family-1 ali (intra-network conv-trunk splits)
+# ---------------------------------------------------------------------------
+
+def build_family1_stages4(model):
+    """(templates[4], stage_fns[4], act_width, gen_rows) — the 4-stage
+    family-1 ali cut, splitting the conv trunks across the player boundary:
+
+        stage 0  Extractor convs 1-2 (+BN2):   real_x -> e_feat
+        stage 1  Extractor tail + Generator:   e_feat -> q_z;
+                                               p_z ~ N(0,I) -> fake_x
+        stage 2  Discriminator conv trunk:     (real_x, fake_x) -> d_feats
+        stage 3  Discriminator (x, z) tail:    -> (gen_ce, disc_ce)
+
+    Stages 0-1 are the generator player (rows updated on G steps), 2-3 the
+    discriminator player — so the player-masked Adam semantics of the
+    2-stage cut carry over unchanged.  cifar10/svhn ali only: mnist reuses
+    the name 'Discriminator.2' for both a conv and a linear (the reference's
+    own scope collision, ``gan_inference_mnist.py:238``), which a prefix
+    partition cannot split; wali-gp's gradient penalty differentiates
+    through the FULL discriminator, which would cross the 2/3 boundary.
+    """
+    from graphical_gan_tpu.models import networks
+    from graphical_gan_tpu.objectives import gan_inference as objs
+    from graphical_gan_tpu.ops.layout import unflatten_image
+
+    cfg = model.cfg
+    if cfg.mode != "ali" or cfg.dataset not in ("cifar10", "svhn"):
+        raise NotImplementedError(
+            "the 4-stage pipeline cut supports cifar10/svhn ali "
+            f"(got {cfg.dataset!r} {cfg.mode!r})")
+    if jnp.dtype(getattr(cfg, "param_dtype", "float32")) != jnp.float32:
+        raise NotImplementedError("pipeline parallelism keeps f32 params")
+
+    params = model.init(jax.random.PRNGKey(0))
+    pre0 = ("Extractor.1.", "Extractor.2.", "Extractor.BN2.")
+    pre2 = ("Discriminator.1.", "Discriminator.2.", "Discriminator.3.")
+    names0 = [n for n in params if n.startswith(pre0)]
+    names2 = [n for n in params if n.startswith(pre2)]
+    names1 = [n for n in params
+              if (n.startswith(("Extractor.", "Generator."))
+                  and n not in names0)]
+    names3 = [n for n in params
+              if n.startswith("Discriminator.") and n not in names2]
+    cover = set(names0) | set(names1) | set(names2) | set(names3)
+    if cover != set(params):
+        raise ValueError(f"params outside the 4-stage partition: "
+                         f"{set(params) - cover}")
+    templates = [StageTemplate(params, ns)
+                 for ns in (names0, names1, names2, names3)]
+
+    h_img, w_img = cfg.data.image_hw
+    ch = cfg.data.channels
+    dim = cfg.dim
+    d_x = cfg.data.output_dim
+    d_z = cfg.dim_latent
+    eh, ew = h_img // 4, w_img // 4          # after two stride-2 convs
+    e_feat = eh * ew * 2 * dim
+    d_feat = 4 * 4 * 4 * dim
+    widths = [d_x + e_feat,                  # 0 -> 1
+              2 * d_x + 2 * d_z,             # 1 -> 2
+              2 * d_feat + 2 * d_z]          # 2 -> 3
+    act_width = max(widths)
+    cdt = model.compute_dtype
+
+    def _pad(buf):
+        return jnp.pad(buf, ((0, 0), (0, act_width - buf.shape[1])))
+
+    def stage0_fn(p0: Params, x_mb: jax.Array, key) -> jax.Array:
+        def fwd():
+            real_x = model.normalize(x_mb)
+            h = networks.extractor_front(
+                cfg, unflatten_image(real_x.astype(cdt), ch, h_img, w_img))
+            return _pad(jnp.concatenate(
+                [real_x.astype(jnp.float32),
+                 h.reshape(h.shape[0], -1).astype(jnp.float32)], axis=1))
+
+        return registry.apply(fwd, p0, key)
+
+    def stage1_fn(p1: Params, buf: jax.Array, key) -> jax.Array:
+        real_x = buf[:, :d_x]
+        h = buf[:, d_x:d_x + e_feat].astype(cdt).reshape(
+            -1, eh, ew, 2 * dim)
+
+        def fwd():
+            b = buf.shape[0]
+            q_z, _, _ = networks.extractor_back(cfg, h, batch=b)
+            p_z = jax.random.normal(next_rng_key(), (b, d_z), dtype=cdt)
+            fake_x, _, _ = networks.generator(cfg, p_z)
+            return _pad(jnp.concatenate(
+                [a.astype(jnp.float32)
+                 for a in (real_x, q_z, fake_x, p_z)], axis=1))
+
+        return registry.apply(fwd, p1, key)
+
+    def stage2_fn(p2: Params, buf: jax.Array, key) -> jax.Array:
+        real_x, q_z, fake_x, p_z = (
+            buf[:, :d_x], buf[:, d_x:d_x + d_z],
+            buf[:, d_x + d_z:2 * d_x + d_z],
+            buf[:, 2 * d_x + d_z:2 * d_x + 2 * d_z])
+
+        def fwd():
+            h_real = networks.discriminator_x_trunk(
+                cfg, unflatten_image(real_x.astype(cdt), ch, h_img, w_img))
+            h_fake = networks.discriminator_x_trunk(
+                cfg, unflatten_image(fake_x.astype(cdt), ch, h_img, w_img))
+            return _pad(jnp.concatenate(
+                [a.astype(jnp.float32)
+                 for a in (h_real, h_fake, q_z, p_z)], axis=1))
+
+        return registry.apply(fwd, p2, key)
+
+    def stage3_fn(p3: Params, buf: jax.Array, key):
+        h_real = buf[:, :d_feat].astype(cdt)
+        h_fake = buf[:, d_feat:2 * d_feat].astype(cdt)
+        q_z = buf[:, 2 * d_feat:2 * d_feat + d_z].astype(cdt)
+        p_z = buf[:, 2 * d_feat + d_z:2 * d_feat + 2 * d_z].astype(cdt)
+
+        def fwd():
+            disc_real = networks.discriminator_xz_head(cfg, h_real, q_z)
+            disc_fake = networks.discriminator_xz_head(cfg, h_fake, p_z)
+            return objs.ali(disc_fake, disc_real)
+
+        return registry.apply(fwd, p3, key)
+
+    return (templates, [stage0_fn, stage1_fn, stage2_fn, stage3_fn],
+            act_width, [0, 1])
+
+
+def _normalized_stages(model, n_stages: int):
+    """(templates list, stage_fns list, act_width, gen_rows) for any
+    supported stage count — 2 (player cut, all families) or 4 (family-1
+    ali conv-trunk cut)."""
+    if n_stages == 2:
+        templates, s0, s1, w = build_stages(model)
+        return list(templates), [s0, s1], w, [0]
+    if n_stages == 4:
+        return build_family1_stages4(model)
+    raise ValueError(f"unsupported pipeline stage count {n_stages} (2|4)")
+
+
 def pack_stacked(model, params: Params, templates) -> jax.Array:
-    """Stack both stages' packed params into ``[2, Pmax]`` (zero-padded)."""
-    tmpl0, tmpl1 = templates
-    pmax = max(tmpl0.size, tmpl1.size)
+    """Stack the stages' packed params into ``[S, Pmax]`` (zero-padded)."""
+    pmax = max(t.size for t in templates)
     rows = []
-    for t in (tmpl0, tmpl1):
+    for t in templates:
         flat = t.pack(params)
         rows.append(jnp.pad(flat, (0, pmax - t.size)))
     return jnp.stack(rows)
 
 
 def unpack_stacked(stacked: jax.Array, templates) -> Params:
-    tmpl0, tmpl1 = templates
-    out = tmpl0.unpack(stacked[0])
-    out.update(tmpl1.unpack(stacked[1]))
+    out = {}
+    for i, t in enumerate(templates):
+        out.update(t.unpack(stacked[i]))
     return out
 
 
@@ -377,24 +527,33 @@ def train_state_from_pp_state(model, pp_state, std_init_state):
 # Sequential staged reference (no mesh) — the equality target for tests
 # ---------------------------------------------------------------------------
 
+def _stage_key(key, s: int, j):
+    """Per-(stage, microbatch) RNG key — identical derivation in the
+    pipelined program and the sequential reference (s=0 keeps the original
+    2-stage derivation so existing checkpoints replay exactly)."""
+    if s == 0:
+        return jax.random.fold_in(key, j)
+    return jax.random.fold_in(jax.random.fold_in(key, s * 0x51A6E), j)
+
+
 def sequential_staged_losses(model, params: Params, raw: jax.Array, key,
-                             microbatches: int):
+                             microbatches: int, n_stages: int = 2):
     """The same staged math as the pipeline, run stage-by-stage on one
-    device: per microbatch j, stage0 then stage1; losses averaged over M."""
-    templates, stage0_fn, stage1_fn, _ = build_stages(model)
-    names0 = [e[0] for e in templates[0].entries]
-    p0 = {n: params[n] for n in names0}
-    p1 = {n: params[n] for n in params if n not in p0}
+    device: per microbatch j, every stage in order; losses averaged over
+    M — the equality target for the pipeline tests."""
+    templates, stage_fns, _, _ = _normalized_stages(model, n_stages)
+    stage_params = [{e[0]: params[e[0]] for e in t.entries}
+                    for t in templates]
     b = raw.shape[0]
     mb = b // microbatches
     g_tot = jnp.float32(0.0)
     d_tot = jnp.float32(0.0)
     for j in range(microbatches):
-        x = raw[j * mb:(j + 1) * mb]
-        k0 = jax.random.fold_in(key, j)
-        k1 = jax.random.fold_in(jax.random.fold_in(key, 0x51A6E), j)
-        buf = stage0_fn(p0, x, k0)
-        g, d = stage1_fn(p1, buf, k1)
+        carry = raw[j * mb:(j + 1) * mb]
+        for s in range(n_stages - 1):
+            carry = stage_fns[s](stage_params[s], carry, _stage_key(key, s, j))
+        g, d = stage_fns[-1](stage_params[-1], carry,
+                             _stage_key(key, n_stages - 1, j))
         g_tot, d_tot = g_tot + g, d_tot + d
     inv = jnp.float32(1.0 / microbatches)
     return g_tot * inv, d_tot * inv
@@ -405,17 +564,18 @@ def sequential_staged_losses(model, params: Params, raw: jax.Array, key,
 # ---------------------------------------------------------------------------
 
 def _make_pipeline_losses(model, mesh: Mesh, microbatches: int,
-                          stage_axis: str):
-    """Build ``losses(stacked [2,P], raw [B,...], key) -> (gen, disc)`` as a
+                          stage_axis: str, n_stages: int = N_STAGES):
+    """Build ``losses(stacked [S,P], raw [B,...], key) -> (gen, disc)`` as a
     scan+ppermute pipeline under shard_map over ``stage_axis``."""
-    templates, stage0_fn, stage1_fn, act_width = build_stages(model)
+    templates, stage_fns, act_width, gen_rows = _normalized_stages(
+        model, n_stages)
     m_count = microbatches
     b = model.cfg.batch_size
     if b % m_count:
         raise ValueError(f"batch_size={b} not divisible by "
                          f"microbatches={m_count}")
     mb = b // m_count
-    tmpl0, tmpl1 = templates
+    n_s = len(templates)
 
     def pipelined(stacked_local, raw_mb, key):
         # stacked_local: [1, Pmax] — this device's stage params
@@ -434,21 +594,32 @@ def _make_pipeline_losses(model, mesh: Mesh, microbatches: int,
 
         def tick(carry, t):
             buf, gacc, dacc = carry
-            j0 = jnp.clip(t, 0, m_count - 1)          # stage0's microbatch
-            j1 = jnp.clip(t - 1, 0, m_count - 1)      # stage1's microbatch
-            x_t = jax.lax.dynamic_index_in_dim(raw_mb, j0, keepdims=False)
-            k0 = jax.random.fold_in(key, j0)
-            k1 = jax.random.fold_in(jax.random.fold_in(key, 0x51A6E), j1)
+            # stage s works on microbatch t - s (clipped; bubbles masked).
+            # keys are derived OUTSIDE the switch branches: grad's partial
+            # eval requires every branch's known-computation outputs to
+            # typematch, so per-branch key derivations must be hoisted
+            js = [jnp.clip(t - s, 0, m_count - 1) for s in range(n_s)]
+            ks = [_stage_key(key, s, js[s]) for s in range(n_s)]
+            x_t = jax.lax.dynamic_index_in_dim(raw_mb, js[0], keepdims=False)
 
-            def br0(_):
-                out = stage0_fn(tmpl0.unpack(flat), x_t, k0)
-                return out, zero, zero
+            def make_branch(s):
+                def br(_):
+                    p_s = templates[s].unpack(flat)
+                    k_s = ks[s]
+                    inp = x_t if s == 0 else buf
+                    if s == n_s - 1:
+                        g, d = stage_fns[s](p_s, inp, k_s)
+                        return (zero_buf, g.astype(jnp.float32),
+                                d.astype(jnp.float32))
+                    out = stage_fns[s](p_s, inp, k_s)
+                    # 2-stage fns emit exactly act_width; deeper cuts pad
+                    # inside the stage fn, so out is always [mb, act_width]
+                    return out, zero, zero
+                return br
 
-            def br1(_):
-                g, d = stage1_fn(tmpl1.unpack(flat), buf, k1)
-                return zero_buf, g.astype(jnp.float32), d.astype(jnp.float32)
-
-            out, g, d = jax.lax.switch(sidx, [br0, br1], None)
+            out, g, d = jax.lax.switch(sidx,
+                                       [make_branch(s) for s in range(n_s)],
+                                       None)
             # the last stage's contribution is valid while it holds a real
             # microbatch: 0 <= t - (S-1) < M.  SELECT (jnp.where), never
             # multiply by a 0/1 mask: a bubble tick computes on the garbage
@@ -456,15 +627,14 @@ def _make_pipeline_losses(model, mesh: Mesh, microbatches: int,
             # log(0) = -inf, so mask * loss would be 0 * inf = NaN.  The
             # where keeps the forward finite; the log's backward NaN drains
             # into the constant init carry, never into params.
-            valid = ((t - (N_STAGES - 1)) >= 0) & ((t - (N_STAGES - 1))
-                                                   < m_count)
+            valid = ((t - (n_s - 1)) >= 0) & ((t - (n_s - 1)) < m_count)
             buf_next = jax.lax.ppermute(
-                out, stage_axis, [(s, s + 1) for s in range(N_STAGES - 1)])
+                out, stage_axis, [(s, s + 1) for s in range(n_s - 1)])
             return (buf_next,
                     gacc + jnp.where(valid, g, jnp.float32(0.0)),
                     dacc + jnp.where(valid, d, jnp.float32(0.0))), None
 
-        ticks = jnp.arange(m_count + N_STAGES - 1)
+        ticks = jnp.arange(m_count + n_s - 1)
         (_, gacc, dacc), _ = jax.lax.scan(tick, (zero_buf, zero, zero),
                                           ticks)
         inv = jnp.float32(1.0 / m_count)
@@ -483,25 +653,31 @@ def _make_pipeline_losses(model, mesh: Mesh, microbatches: int,
         raw_mb = raw.reshape((m_count, mb) + raw.shape[1:])
         return smapped(stacked, raw_mb, key)
 
-    return losses, templates
+    return losses, templates, gen_rows
 
 
 def make_pp_train_step(model, mesh: Mesh, microbatches: int = 4,
                        critic_iters: Optional[int] = None,
-                       stage_axis: str = "stage", donate: bool = True):
-    """Jit the alternating G/D step as a 2-stage parameter-partitioned
-    pipeline over ``mesh[stage_axis]``.
+                       stage_axis: str = "stage", donate: bool = True,
+                       n_stages: Optional[int] = None):
+    """Jit the alternating G/D step as a parameter-partitioned pipeline
+    over ``mesh[stage_axis]`` — 2 stages (player cut, all pp families) or
+    4 (family-1 ali conv-trunk cut); the count defaults to the mesh's
+    stage-axis size, so ``--parallel pp --mesh-shape 4`` selects the
+    deeper cut from the CLI.
 
     Returns ``(step, init_state, place, read_params)`` —
     ``step(state, raw_batches, key, do_gen)`` as elsewhere;
     ``read_params(state)`` recovers the name-keyed param dict (for eval /
     checkpoint interop).  ``state`` is a dict pytree:
-    ``{packed [2,P], m [2,P], v [2,P], t [2], step}`` — params AND both
+    ``{packed [S,P], m [S,P], v [S,P], t [S], step}`` — params AND both
     players' Adam moments live stage-sharded.
     """
     cfg = model.cfg
-    if mesh.shape[stage_axis] != N_STAGES:
-        raise ValueError(f"mesh[{stage_axis!r}] must be {N_STAGES}")
+    if n_stages is None:
+        n_stages = int(mesh.shape[stage_axis])
+    if mesh.shape[stage_axis] != n_stages:
+        raise ValueError(f"mesh[{stage_axis!r}] must be {n_stages}")
     k = cfg.critic_iters if critic_iters is None else critic_iters
     gen_spec, disc_spec = model.opt_specs()
     for spec in (gen_spec, disc_spec):
@@ -510,19 +686,25 @@ def make_pp_train_step(model, mesh: Mesh, microbatches: int = 4,
                 "pipeline step implements the Adam players "
                 "(ali / wali-gp / gmgan local_ep presets)")
 
-    losses, templates = _make_pipeline_losses(model, mesh, microbatches,
-                                              stage_axis)
+    losses, templates, gen_rows = _make_pipeline_losses(
+        model, mesh, microbatches, stage_axis, n_stages=n_stages)
+    n_s = len(templates)
+    disc_rows = [r for r in range(n_s) if r not in gen_rows]
 
-    # per-stage-row Adam hyperparams (row 0 = gen player, row 1 = disc)
-    lr = jnp.asarray([gen_spec.lr, disc_spec.lr], jnp.float32)[:, None]
-    b1 = jnp.asarray([gen_spec.beta1, disc_spec.beta1], jnp.float32)[:, None]
-    b2 = jnp.asarray([gen_spec.beta2, disc_spec.beta2], jnp.float32)[:, None]
-    eps = jnp.asarray([gen_spec.eps, disc_spec.eps], jnp.float32)[:, None]
+    # per-stage-row Adam hyperparams (rows in gen_rows = gen player)
+    def row_arr(field):
+        return jnp.asarray([getattr(gen_spec if r in gen_rows else disc_spec,
+                                    field) for r in range(n_s)],
+                           jnp.float32)[:, None]
 
-    def masked_adam(stacked, m, v, t, grads, row: int):
-        """TF1-Adam on the packed rows, updating only ``row`` (the moments,
-        counters and params of the other stage pass through untouched)."""
-        mask = jax.nn.one_hot(row, N_STAGES, dtype=jnp.float32)[:, None]
+    lr, b1, b2, eps = (row_arr(f) for f in ("lr", "beta1", "beta2", "eps"))
+
+    def masked_adam(stacked, m, v, t, grads, rows):
+        """TF1-Adam on the packed rows, updating only the player's
+        ``rows`` (the moments, counters and params of the other player's
+        stages pass through untouched)."""
+        mask = sum(jax.nn.one_hot(r, n_s, dtype=jnp.float32)
+                   for r in rows)[:, None]
         t_new = t + mask[:, 0].astype(t.dtype)
         # clamp the bias-correction exponent: the row NOT being updated may
         # still have t=0, whose correction is 0/0 = NaN — and 0 * NaN = NaN
@@ -551,7 +733,8 @@ def make_pp_train_step(model, mesh: Mesh, microbatches: int = 4,
         def do_g(args):
             packed, m, v, t = args
             loss, grads = gen_vag(packed, raw0, g_key)
-            packed, m, v, t = masked_adam(packed, m, v, t, grads, 0)
+            packed, m, v, t = masked_adam(packed, m, v, t, grads,
+                                          gen_rows)
             return packed, m, v, t, loss
 
         def skip_g(args):
@@ -568,7 +751,8 @@ def make_pp_train_step(model, mesh: Mesh, microbatches: int = 4,
             d_key = jax.random.fold_in(key, 1 + i)
             disc_cost, grads = disc_vag(packed, slice_batch(raw_batches,
                                                             1 + i), d_key)
-            packed, m, v, t = masked_adam(packed, m, v, t, grads, 1)
+            packed, m, v, t = masked_adam(packed, m, v, t, grads,
+                                          disc_rows)
         if k > 0:
             metrics["disc_cost"] = disc_cost
 
@@ -585,7 +769,7 @@ def make_pp_train_step(model, mesh: Mesh, microbatches: int = 4,
         packed = pack_stacked(model, params, templates)
         return dict(packed=packed,
                     m=jnp.zeros_like(packed), v=jnp.zeros_like(packed),
-                    t=jnp.zeros((N_STAGES,), jnp.int32),
+                    t=jnp.zeros((n_s,), jnp.int32),
                     step=jnp.zeros((), jnp.int32))
 
     stage_sh = NamedSharding(mesh, P(stage_axis, None))

@@ -50,6 +50,7 @@ def test_accumulate_value_and_grad_matches_manual_average():
                                np.asarray(want["W"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_accum_step_trains_gan_family():
     cfg = gan_inference_defaults("cifar10", "wali-gp", dim=8, batch_size=8,
                                  accum_steps=4)
@@ -69,6 +70,7 @@ def test_accum_step_trains_gan_family():
     assert changed, "accumulated step updated no params"
 
 
+@pytest.mark.slow
 def test_accum_low_byte_compose():
     # bf16 live params: partial sums accumulate in f32 and cast back — the
     # composed step must stay finite and keep param dtypes

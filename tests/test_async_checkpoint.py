@@ -16,6 +16,7 @@ def _final_params(tr):
     return {n: np.asarray(p) for n, p in tr.params.items()}
 
 
+@pytest.mark.slow
 def test_async_run_matches_sync_run(tmp_path):
     rng = np.random.RandomState(0)
     data = rng.rand(64, 784).astype("float32")
@@ -46,6 +47,7 @@ def test_async_run_matches_sync_run(tmp_path):
             np.testing.assert_array_equal(fa[k], fs[k], err_msg=f"{f}:{k}")
 
 
+@pytest.mark.slow
 def test_async_checkpoint_resume_mid_run(tmp_path):
     t1 = make_trainer(tmp_path, checkpoint_every=2, async_checkpoint=True)
     t1.train(iters=5, resume=False)

@@ -6,6 +6,7 @@ import pytest
 from graphical_gan_tpu.tools import bench_serving as bs
 
 
+@pytest.mark.slow
 def test_measure_family1_jit_and_export_paths():
     recs = bs.measure("gan_inference", batches=[4, 8], depth=2, rounds=2)
     assert [r["batch"] for r in recs] == [4, 8]
@@ -29,6 +30,7 @@ def test_measure_video_family_reports_frames():
         4 * 16 / (r["latency_ms"] / 1e3), rel=0.01)  # published LEN=16
 
 
+@pytest.mark.slow
 def test_measure_int8_quantized_path():
     recs = bs.measure("gan_inference", batches=[4], depth=2, rounds=2,
                       quantize="int8")

@@ -63,6 +63,7 @@ def test_composed_3d_matches_unsharded():
             atol=3e-4, err_msg=n)
 
 
+@pytest.mark.slow
 def test_composed_subsumes_dp_and_tp():
     """With seq/model axes off, the composed factory is plain DP; with
     model on, param placement matches the TP rules (spot-checked specs)."""

@@ -7,6 +7,7 @@ import pytest
 from graphical_gan_tpu.tools import determinism as det
 
 
+@pytest.mark.slow
 def test_audit_all_checks_pass_family1():
     results = det.run_all("gan", dim=8, batch_size=8, chunk_iters=3,
                           trainer_iters=4)

@@ -126,6 +126,7 @@ def test_guard_disabled_by_default(tmp_path):
 
 # -- resident path -----------------------------------------------------------
 
+@pytest.mark.slow
 def test_guard_resident_rollback_recovers(tmp_path):
     rng = np.random.RandomState(0)
     tr = make_trainer(tmp_path, checkpoint_every=3, max_rollbacks=2,
@@ -200,6 +201,7 @@ def test_fault_injection_inert_without_guard(tmp_path, monkeypatch):
     assert int(tr.state.step) == 5
 
 
+@pytest.mark.slow
 def test_guard_rollback_under_dp_mesh(tmp_path):
     """Rollback restores + re-places sharded state: the retry must keep
     training on the mesh (params re-sharded by _place on restore)."""

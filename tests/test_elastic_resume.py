@@ -13,6 +13,7 @@ restore — SURVEY §5); this is new capability the TPU deployment story needs
 (e.g. re-slicing a job after preemption onto a different topology).
 """
 
+import pytest
 import numpy as np
 import jax
 from jax.sharding import Mesh
@@ -83,6 +84,7 @@ def test_pp_conversion_roundtrip_is_lossless():
 
 # -- cross-strategy resume (standard formats) ---------------------------------
 
+@pytest.mark.slow
 def test_resume_dp_checkpoint_single_device(tmp_path):
     """Resident mode is bit-deterministic in the KeyStream position, so
     dp-4-then-single must equal an uninterrupted single-device run."""
@@ -117,6 +119,7 @@ def test_resume_dp_checkpoint_single_device(tmp_path):
             np.asarray(t_single.state.params[n]), atol=1e-3, err_msg=n)
 
 
+@pytest.mark.slow
 def test_resume_single_checkpoint_under_tp(tmp_path):
     model = _model()
     data = _resident(model.cfg)
@@ -141,6 +144,7 @@ def test_resume_single_checkpoint_under_tp(tmp_path):
 
 # -- pp <-> standard migration through the Trainer -----------------------------
 
+@pytest.mark.slow
 def test_resume_standard_checkpoint_under_pp_and_back(tmp_path):
     model = _model()
     gen = _gen_factory(model.cfg)

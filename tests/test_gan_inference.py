@@ -245,6 +245,7 @@ def test_loss_decreases_over_short_run():
     assert costs[-1] < costs[0]
 
 
+@pytest.mark.slow
 def test_low_byte_step_params_bf16_and_tracks_f32():
     """param_dtype=bfloat16 (f32 masters in the optimizer): the live params
     are stored at 2 bytes, stay finite, and over a short run track the f32
@@ -280,6 +281,7 @@ def test_low_byte_step_params_bf16_and_tracks_f32():
             atol=0.02, err_msg=n)
 
 
+@pytest.mark.slow
 def test_low_byte_wali_clips_masters_too():
     """wali weight clip must apply to the f32 masters as well: otherwise the
     master escapes the box and re-exports out-of-range bf16 params on the

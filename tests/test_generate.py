@@ -31,6 +31,7 @@ def _tiny_family1_run(tmp_path, **kw):
     return trainer.outf
 
 
+@pytest.mark.slow
 def test_generate_family1(tmp_path):
     outf = _tiny_family1_run(tmp_path)
     info = generate(outf)
@@ -51,6 +52,7 @@ def test_generate_no_data_skips_reconstruction(tmp_path):
     assert not any("reconstruction" in n for n in info["artifacts"])
 
 
+@pytest.mark.slow
 def test_trainer_zero_cadences_disable(tmp_path):
     # eval_every=0 / checkpoint_every=0 mean "off": the run completes and
     # only the final-iteration checkpoint is written
@@ -82,6 +84,7 @@ def test_generate_gmgan_and_ssgan(tmp_path):
     assert any("disentangle" in n for n in info["artifacts"])
 
 
+@pytest.mark.slow
 def test_generate_from_pp_checkpoint(tmp_path):
     """A pipeline-parallel run's checkpoint (packed per-stage rows) restores
     through the same generate path: restore_params detects the pp layout

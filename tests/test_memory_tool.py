@@ -8,12 +8,14 @@ must grow the temp working set.
 """
 
 import json
+import pytest
 
 from graphical_gan_tpu.tools import memory as mem_tool
 
 TINY = dict(dim=8, batch_size=8, dim_latent=16)
 
 
+@pytest.mark.slow
 def test_step_memory_fields_and_consistency():
     m = mem_tool.step_memory("float32", "gan", data_rows=64, **TINY)
     for k in ("argument_bytes", "output_bytes", "temp_bytes", "peak_bytes",

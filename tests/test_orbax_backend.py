@@ -115,6 +115,7 @@ def test_trainer_orbax_gc_keeps_k(tmp_path):
                                            "ckpt_4.orbax.extra.json"}
 
 
+@pytest.mark.slow
 def test_trainer_orbax_sharded_tp_save_and_resume(tmp_path):
     """A TP 2x4 run checkpoints through orbax and resumes sharded: the
     restore `like` carries the TP placement, so each leaf comes back with

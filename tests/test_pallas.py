@@ -83,6 +83,7 @@ def test_matches_registry_batchnorm_relu():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_path_inside_model():
     """GGAN_PALLAS: the fused kernel slots into the model batchnorm path
     with identical losses and finite gradients (interpret mode on CPU)."""

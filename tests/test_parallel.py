@@ -27,6 +27,7 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device():
     model = make_model()
     cfg = model.cfg

@@ -3,6 +3,7 @@ exactly the sequential staged math (losses AND gradients), the per-row
 masked Adam touches only the updated player's stage, and params/moments
 really live stage-partitioned."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,7 @@ def test_pack_unpack_roundtrip():
                                       np.asarray(params[n]), err_msg=n)
 
 
+@pytest.mark.slow
 def test_pipeline_losses_and_grads_match_sequential():
     """The pipelined program == stage-by-stage sequential execution, for the
     loss values and for the gradient w.r.t. the packed params (which is what
@@ -53,7 +55,7 @@ def test_pipeline_losses_and_grads_match_sequential():
     m_count = 4
 
     mesh = make_mesh_pp()
-    losses, templates = pp._make_pipeline_losses(model, mesh, m_count,
+    losses, templates, _ = pp._make_pipeline_losses(model, mesh, m_count,
                                                  "stage")
     stacked = pp.pack_stacked(model, params, templates)
 
@@ -76,6 +78,7 @@ def test_pipeline_losses_and_grads_match_sequential():
     assert float(jnp.abs(grad_pp[1]).max()) > 0
 
 
+@pytest.mark.slow
 def test_pipeline_wali_gp_matches_sequential():
     """wali-gp through the pipeline: the gradient penalty's inner jax.grad
     lives inside the stage-1 switch branch, so the disc-loss gradient is a
@@ -90,7 +93,7 @@ def test_pipeline_wali_gp_matches_sequential():
     m_count = 4
 
     mesh = make_mesh_pp()
-    losses, templates = pp._make_pipeline_losses(model, mesh, m_count,
+    losses, templates, _ = pp._make_pipeline_losses(model, mesh, m_count,
                                                  "stage")
     stacked = pp.pack_stacked(model, params, templates)
 
@@ -111,6 +114,7 @@ def test_pipeline_wali_gp_matches_sequential():
     assert float(jnp.abs(grad_pp[1]).max()) > 0
 
 
+@pytest.mark.slow
 def test_pp_step_masks_players_to_their_stage():
     model = make_model()
     cfg = model.cfg
@@ -149,6 +153,7 @@ def test_pp_step_masks_players_to_their_stage():
     assert np.isfinite(float(m["disc_cost"]))
 
 
+@pytest.mark.slow
 def test_pp_state_is_stage_partitioned_and_trains():
     model = make_model()
     cfg = model.cfg
@@ -198,7 +203,7 @@ def _assert_pp_equals_sequential(model, loss_idx, atol):
     m_count = 4
 
     mesh = make_mesh_pp()
-    losses, templates = pp._make_pipeline_losses(model, mesh, m_count,
+    losses, templates, _ = pp._make_pipeline_losses(model, mesh, m_count,
                                                  "stage")
     stacked = pp.pack_stacked(model, params, templates)
 
@@ -221,6 +226,7 @@ def _assert_pp_equals_sequential(model, loss_idx, atol):
     return grad_pp
 
 
+@pytest.mark.slow
 def test_gmgan_pipeline_local_ep_matches_sequential():
     """local_ep (the published gmgan mode): 2-element discriminator lists
     evaluated in stage 1, shared-Mu hyper chain in stage 0; gen-loss grad
@@ -230,11 +236,13 @@ def test_gmgan_pipeline_local_ep_matches_sequential():
     assert float(jnp.abs(grad_pp[1]).max()) > 0
 
 
+@pytest.mark.slow
 def test_gmgan_pipeline_ali_matches_sequential():
     grad_pp = _assert_pp_equals_sequential(make_gmgan("ali"), 0, 2e-5)
     assert float(jnp.abs(grad_pp[0]).max()) > 0
 
 
+@pytest.mark.slow
 def test_gmgan_pipeline_reinforce_surrogate_crosses_boundary():
     """REINFORCE: the score-function surrogate pairs stage-0's posterior
     max with stage-1's latent-D output, so its gen-loss gradient into the
@@ -246,6 +254,7 @@ def test_gmgan_pipeline_reinforce_surrogate_crosses_boundary():
     assert float(jnp.abs(grad_pp[0]).max()) > 0
 
 
+@pytest.mark.slow
 def test_gmgan_pp_step_trains_and_shares_mu_in_stage0():
     """Generator.Hyper.Mu (read by BOTH sides' hyper chains) lives on the
     stage-0 row; a D-only step must not move it, a G step must."""
@@ -271,3 +280,153 @@ def test_gmgan_pp_step_trains_and_shares_mu_in_stage0():
         np.asarray(read_params(s3)["Generator.Hyper.Mu"]), mu0)
     assert np.isfinite(float(m["gen_cost"]))
     assert np.isfinite(float(m["disc_cost"]))
+
+
+# -- 4-stage conv-trunk cut (intra-network stage splits) ----------------------
+
+def make_mesh_pp4():
+    devs = np.asarray(jax.devices()[:4])
+    return Mesh(devs, ("stage",))
+
+
+@pytest.mark.slow
+def test_pipeline4_losses_and_grads_match_sequential():
+    """The 4-stage family-1 ali cut (Extractor trunk | Extractor tail +
+    Generator | Discriminator trunk | Discriminator tail) computes exactly
+    the sequential staged math — losses and the gradient through THREE
+    ppermute boundaries."""
+    model = make_model()
+    cfg = model.cfg
+    params = model.init(KEY)
+    raw = jnp.asarray(np.random.RandomState(7).randint(
+        0, 256, size=(cfg.batch_size, cfg.data.output_dim)).astype("int32"))
+    key = jax.random.PRNGKey(11)
+    m_count = 4
+
+    mesh = make_mesh_pp4()
+    losses, templates, gen_rows = pp._make_pipeline_losses(
+        model, mesh, m_count, "stage", n_stages=4)
+    assert gen_rows == [0, 1]
+    assert len(templates) == 4
+    stacked = pp.pack_stacked(model, params, templates)
+    assert stacked.shape[0] == 4
+
+    def seq_fn(stacked):
+        p = pp.unpack_stacked(stacked, templates)
+        return pp.sequential_staged_losses(model, p, raw, key, m_count,
+                                           n_stages=4)
+
+    g_ref, d_ref = seq_fn(stacked)
+    g_pp, d_pp = losses(stacked, raw, key)
+    np.testing.assert_allclose(float(g_ref), float(g_pp), rtol=1e-5)
+    np.testing.assert_allclose(float(d_ref), float(d_pp), rtol=1e-5)
+
+    grad_ref = jax.grad(lambda s: seq_fn(s)[0])(stacked)
+    grad_pp = jax.grad(lambda s: losses(s, raw, key)[0])(stacked)
+    np.testing.assert_allclose(np.asarray(grad_ref), np.asarray(grad_pp),
+                               atol=3e-5)
+    # the gen-loss gradient reaches EVERY stage row through the pipeline
+    for r in range(4):
+        assert float(jnp.abs(grad_pp[r]).max()) > 0, r
+
+
+def test_pipeline4_partition_is_disjoint_and_complete():
+    model = make_model()
+    params = model.init(KEY)
+    templates, fns, act_width, gen_rows = pp.build_family1_stages4(model)
+    names = [e[0] for t in templates for e in t.entries]
+    assert len(names) == len(set(names))           # disjoint
+    assert set(names) == set(params)               # complete
+    # trunk/head split really crosses the conv stacks
+    assert any(n.startswith("Extractor.1.") for n in
+               [e[0] for e in templates[0].entries])
+    assert any(n.startswith("Generator.") for n in
+               [e[0] for e in templates[1].entries])
+    assert all(n.startswith(("Discriminator.1.", "Discriminator.2.",
+                             "Discriminator.3."))
+               for n in [e[0] for e in templates[2].entries])
+    assert any(n.startswith("Discriminator.zx1") for n in
+               [e[0] for e in templates[3].entries])
+
+
+@pytest.mark.slow
+def test_pp4_train_step_runs_and_masks_players():
+    """The full 4-stage train step: G updates touch only rows 0-1, D
+    updates only rows 2-3, state stays stage-sharded and finite."""
+    model = make_model()
+    cfg = model.cfg
+    mesh = make_mesh_pp4()
+    step, init_state, place, read_params = pp.make_pp_train_step(
+        model, mesh, microbatches=4, critic_iters=1, donate=False)
+    state = place(init_state(model.init(KEY)))
+    assert state["packed"].shape[0] == 4
+    assert not state["packed"].sharding.is_fully_replicated
+    rng = np.random.RandomState(3)
+    raw = jnp.asarray(rng.randint(
+        0, 256, size=(2, cfg.batch_size, cfg.data.output_dim))
+        .astype("int32"))
+
+    before = np.asarray(jax.device_get(state["packed"]))
+    state2, metrics = step(state, raw, jax.random.PRNGKey(1),
+                           jnp.asarray(False))       # D-only step
+    after = np.asarray(jax.device_get(state2["packed"]))
+    assert np.isfinite(float(metrics["disc_cost"]))
+    # pad columns are zero in both; player masking => rows 0-1 untouched
+    np.testing.assert_array_equal(before[:2], after[:2])
+    assert (before[2] != after[2]).any()
+    assert (before[3] != after[3]).any()
+    t = np.asarray(jax.device_get(state2["t"]))
+    np.testing.assert_array_equal(t, [0, 0, 1, 1])
+
+    state3, metrics = step(state2, raw, jax.random.PRNGKey(2),
+                           jnp.asarray(True))        # G + D step
+    third = np.asarray(jax.device_get(state3["packed"]))
+    assert np.isfinite(float(metrics["gen_cost"]))
+    assert (after[0] != third[0]).any()
+    assert (after[1] != third[1]).any()
+    t = np.asarray(jax.device_get(state3["t"]))
+    np.testing.assert_array_equal(t, [1, 1, 2, 2])
+    # params survive a read back to the name-keyed dict
+    back = read_params(state3)
+    assert set(back) == set(model.init(KEY))
+
+
+def test_networks_trunk_head_split_is_identity():
+    """extractor/discriminator == head(trunk(.)) — the refactor that names
+    the 4-stage split points changes no math."""
+    from graphical_gan_tpu.core import registry
+    from graphical_gan_tpu.models import networks
+    from graphical_gan_tpu.ops.layout import unflatten_image
+    model = make_model()
+    cfg = model.cfg
+    params = model.init(KEY)
+    rng = np.random.RandomState(0)
+    x_flat = jnp.asarray(rng.rand(8, cfg.data.output_dim)
+                         .astype("float32") * 2 - 1)
+    z = jnp.asarray(rng.rand(8, cfg.dim_latent).astype("float32"))
+
+    def whole():
+        return networks.discriminator_xz(cfg, x_flat, z)
+
+    def split():
+        h, w = cfg.data.image_hw
+        x = unflatten_image(x_flat, cfg.data.channels, h, w)
+        feat = networks.discriminator_x_trunk(cfg, x)
+        return networks.discriminator_xz_head(cfg, feat, z)
+
+    a = registry.apply(whole, params, jax.random.PRNGKey(9))
+    b = registry.apply(split, params, jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def e_whole():
+        return networks.extractor(cfg, x_flat)[0]
+
+    def e_split():
+        h, w = cfg.data.image_hw
+        x = unflatten_image(x_flat, cfg.data.channels, h, w)
+        return networks.extractor_back(cfg, networks.extractor_front(cfg, x),
+                                       batch=8)[0]
+
+    a = registry.apply(e_whole, params, jax.random.PRNGKey(9))
+    b = registry.apply(e_split, params, jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -5,6 +5,7 @@ and matches the unsharded program numerically."""
 
 import re
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,7 @@ def _forward_conv_batches(hlo_text):
     return out
 
 
+@pytest.mark.slow
 def test_sp_step_partitions_frames_and_matches_unsharded():
     model = SSGanModel(ssgan_defaults("moving_mnist", "local_ep", dim=16,
                                       dim_op=64, batch_size=8, seq_len=4))

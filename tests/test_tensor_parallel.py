@@ -1,6 +1,7 @@
 """Tensor-parallel (data x model) mesh: sharding rules, compile+run on the
 virtual 8-device topology, numerical agreement with the unsharded step."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -170,6 +171,7 @@ def test_tp_step_runs_and_matches_unsharded_gmgan():
             atol=2.5e-4, err_msg=n)
 
 
+@pytest.mark.slow
 def test_tp_step_runs_and_matches_unsharded_ssgan():
     """Family-3 under the 2-D mesh == unsharded step: scan-carried Dynamic
     MLPs and the weighted discriminator list survive channel sharding."""

@@ -92,6 +92,7 @@ def test_trainer_resident_mode(tmp_path):
     assert not tr.logger.pending
 
 
+@pytest.mark.slow
 def test_trainer_mesh_resident_matches_single_device(tmp_path):
     """Trainer(mesh=...) in resident mode: data-parallel over the 8-device
     virtual mesh must reproduce the single-device run (same keys => same

@@ -55,6 +55,7 @@ def test_trainer_tp_matches_single_device(tmp_path):
             atol=3e-4, err_msg=n)
 
 
+@pytest.mark.slow
 def test_trainer_ep_matches_single_device(tmp_path):
     """Trainer-level expert parallelism (gmgan, data x expert mesh):
     host-fed EP matches the single-device trainer exactly and the mixture
@@ -138,6 +139,7 @@ def test_trainer_sp_resident_hot_loop(tmp_path):
     assert int(tr.state.step) == 4
 
 
+@pytest.mark.slow
 def test_trainer_pp_matches_bare_step_loop(tmp_path):
     """Trainer-level pipeline parallelism (family-1 ali, 2-stage 'stage'
     mesh): the host-fed Trainer drives make_pp_train_step exactly as a
