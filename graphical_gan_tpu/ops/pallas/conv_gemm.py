@@ -98,11 +98,35 @@ def _kernel(xp_ref, w_ref, b_ref, y_ref, acc_ref, *,
     y_ref[:] = y.reshape(b, oh, ow, -1).astype(y_ref.dtype)
 
 
+def _kernel_im2col(xp_ref, w_ref, b_ref, y_ref, col_ref, *,
+                   k: int, s: int, b: int, oh: int, ow: int, cin: int,
+                   leak: Optional[float]):
+    """im2col variant: stage all K*K windows into one wide VMEM buffer,
+    then ONE MXU dot with K = k*k*cin — trades the 25 thin (K=cin) dots
+    (each under-filling the 128-deep systolic array and paying its own
+    pipeline ramp) for a single full-depth contraction; the window copies
+    are identical in both variants."""
+    m = b * oh * ow
+    for kh in range(k):
+        for kw in range(k):
+            ph, pw = kh % s, kw % s
+            oh0, ow0 = kh // s, kw // s
+            t = kh * k + kw
+            window = xp_ref[ph * s + pw, :, oh0:oh0 + oh, ow0:ow0 + ow, :]
+            col_ref[:, t * cin:(t + 1) * cin] = window.reshape(m, cin)
+    y = jnp.dot(col_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    y = y + b_ref[0].astype(jnp.float32)
+    if leak is not None:
+        y = jnp.where(y >= 0, y, leak * y)
+    y_ref[:] = y.reshape(b, oh, ow, -1).astype(y_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("stride", "leak", "n_block",
-                                             "b_block"))
+                                             "b_block", "variant"))
 def conv_gemm(x: jax.Array, w: jax.Array, bias: jax.Array,
               stride: int = 2, leak: Optional[float] = 0.2,
-              n_block: int = 128, b_block: int = 64) -> jax.Array:
+              n_block: int = 128, b_block: int = 64,
+              variant: str = "taps") -> jax.Array:
     """SAME conv + bias (+ LeakyReLU when ``leak`` is set), NHWC/HWIO.
 
     Shape-specialized for the k5s2 discriminator stack: a whole batch
@@ -119,12 +143,62 @@ def conv_gemm(x: jax.Array, w: jax.Array, bias: jax.Array,
     span = (k - 1) // s + oh
     nb = min(n_block, cout)
     bb = min(b_block, b)
+    if b > bb:
+        # multi-block batch grids get their input/output blocks
+        # double-buffered by Mosaic; shrink the block so the pipeline
+        # buffers + per-tap window temporaries stay inside scoped VMEM
+        # (measured: bb=64 with 8 batch blocks at disc2 shapes = 22 MB
+        # scoped > the 16 MB limit; bb=32 fits)
+        bb = min(bb, 32)
+    if variant == "im2col":
+        # the staged col buffer is m x (k*k*cin) of the input dtype —
+        # shrink the batch block until buffers fit scoped VMEM (measured
+        # 20.6 MB > 16 MB at bb=64, disc2)
+        ib = x.dtype.itemsize
+        span_ = (k - 1) // s + oh
+
+        def est(bb_):
+            m_ = bb_ * oh * ow
+            return (m_ * k * k * cin * ib            # col scratch
+                    + 2 * s * s * bb_ * span_ * span_ * cin * ib   # xp 2x
+                    + 2 * m_ * nb * ib               # out 2x
+                    + k * k * cin * nb * ib          # weights
+                    # Mosaic stack-allocates each unrolled tap's window
+                    # temporary (measured: 17.5 MB scoped at bb=32/disc2
+                    # with the naive estimate at 11 MB)
+                    + k * k * m_ * cin * ib)
+
+        while bb > 8 and est(bb) > 12 * 2 ** 20:
+            bb //= 2
     assert cout % nb == 0, (cout, nb)
     assert b % bb == 0, (b, bb)
     m = bb * oh * ow
 
     xp = phase_stack(x, k, s)
     grid = (cout // nb, b // bb)
+    if variant == "im2col":
+        # weights tap-major [k*k*cin, cout] to match the col buffer layout
+        w2 = w.reshape(k * k * cin, cout)
+        return pl.pallas_call(
+            functools.partial(_kernel_im2col, k=k, s=s, b=bb, oh=oh, ow=ow,
+                              cin=cin, leak=leak),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((s * s, bb, span, span, cin),
+                             lambda j, i: (0, i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k * k * cin, nb), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nb), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bb, oh, ow, nb),
+                                   lambda j, i: (i, 0, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, oh, ow, cout), x.dtype),
+            scratch_shapes=[pltpu.VMEM((m, k * k * cin), x.dtype)],
+            interpret=_interpret(),
+        )(xp, w2, bias.reshape(1, cout))
     out = pl.pallas_call(
         functools.partial(_kernel, k=k, s=s, b=bb, oh=oh, ow=ow, cin=cin,
                           leak=leak),

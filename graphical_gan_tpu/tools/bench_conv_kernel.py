@@ -43,13 +43,23 @@ def _reps_program(one, r: int):
     # lax.fori_loop, not an unrolled python loop: every unrolled call site
     # lowers the Mosaic kernel again (measured ~10 s/site — a 50-rep
     # program would take minutes to compile); the loop keeps ONE call site
-    # and runs r device iterations.  i-dependent input scaling defeats CSE.
+    # and runs r device iterations.
+    #
+    # The per-iteration input must be IRREDUCIBLY distinct: conv is linear,
+    # so a scalar perturbation (xi = x * (1 + i*eps), or + i*eps) lets
+    # XLA's simplifier hoist the n distinct convs out of the loop and
+    # reduce the body to scalar algebra — measured as an impossible
+    # 252 TFLOP/s "conv" rate, while the Pallas arm's custom call is
+    # opaque and CANNOT be hoisted, making the A/B compare a real kernel
+    # against algebra.  jnp.roll by the loop index is airtight: a
+    # loop-varying permutation of the input that no rewrite moves across
+    # the conv, costing one relayout copy per rep in BOTH arms equally.
     def fn(xs, w, b):
         n = xs.shape[0]
 
         def body(i, tot):
             xi = jax.lax.dynamic_index_in_dim(xs, i % n, keepdims=False)
-            xi = xi * (1.0 + i.astype(xs.dtype) * 1e-6)
+            xi = jnp.roll(xi, i, axis=1)
             return tot + jnp.sum(one(xi, w, b).astype(jnp.float32))
 
         return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))
@@ -81,41 +91,51 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
-    p.add_argument("--reps", type=int, default=50,
-                   help="in-program applications at the base point; the "
-                        "2x point doubles it")
+    p.add_argument("--reps", type=int, default=0,
+                   help="in-program applications at the base point (the "
+                        "2x point doubles it); 0 = auto-scale per shape "
+                        "so the differential spans ~20 ms of device time "
+                        "(µs-scale kernels need hundreds of reps or the "
+                        "T(2R)-T(R) difference drowns in relay jitter)")
     p.add_argument("--rounds", type=int, default=5)
     p.add_argument("--n-inputs", type=int, default=4)
     args = p.parse_args(argv)
     dt = jnp.dtype(args.dtype)
     rng = np.random.RandomState(0)
 
+    import functools as _ft
+    arms = {
+        "xla": conv_gemm_reference,
+        "pallas_taps": conv_gemm,
+        "pallas_im2col": _ft.partial(conv_gemm, variant="im2col"),
+    }
     for name, b, h, cin, cout in SHAPES:
         xs = jnp.asarray(rng.randn(args.n_inputs, b, h, h, cin), dt)
         w = jnp.asarray(rng.randn(5, 5, cin, cout) * 0.05, dt)
         bias = jnp.asarray(rng.randn(cout), dt)
-        # correctness gate before timing
-        ref = np.asarray(conv_gemm_reference(xs[0], w, bias), np.float32)
-        got = np.asarray(conv_gemm(xs[0], w, bias), np.float32)
-        scale = max(1.0, float(np.abs(ref).max()))
-        maxerr = float(np.abs(ref - got).max()) / scale
-
-        t_pallas = bench_arm(conv_gemm, xs, w, bias, args.reps, args.rounds)
-        t_xla = bench_arm(conv_gemm_reference, xs, w, bias, args.reps,
-                          args.rounds)
         oh = -(-h // 2)
         flops = 2 * b * oh * oh * cout * 25 * cin
-        print(json.dumps({
-            "shape": name, "dtype": args.dtype,
-            "pallas_us": round(t_pallas * 1e6, 2),
-            "xla_us": round(t_xla * 1e6, 2),
-            "speedup_vs_xla": round(t_xla / t_pallas, 3),
-            "pallas_tflops": round(flops / t_pallas / 1e12, 2),
-            "xla_tflops": round(flops / t_xla / 1e12, 2),
-            "rel_maxerr": round(maxerr, 6),
-            "reps": args.reps,
-            "device_kind": jax.devices()[0].device_kind,
-        }), flush=True)
+        reps = args.reps or max(50, min(1000, int(2e12 / flops)))
+
+        ref = np.asarray(conv_gemm_reference(xs[0], w, bias), np.float32)
+        scale = max(1.0, float(np.abs(ref).max()))
+        rec = {"shape": name, "dtype": args.dtype, "reps": reps,
+               "device_kind": jax.devices()[0].device_kind}
+        times = {}
+        for arm, fn in arms.items():
+            got = np.asarray(fn(xs[0], w, bias), np.float32)
+            rec[f"{arm}_rel_maxerr"] = round(
+                float(np.abs(ref - got).max()) / scale, 6)
+            t = bench_arm(fn, xs, w, bias, reps, args.rounds)
+            times[arm] = t
+            rec[f"{arm}_us"] = round(t * 1e6, 2)
+            rec[f"{arm}_tflops"] = round(flops / t / 1e12, 2)
+        best = min(times, key=lambda a: times[a])
+        rec["best_pallas_vs_xla"] = round(
+            times["xla"] / min(times["pallas_taps"], times["pallas_im2col"]),
+            3)
+        rec["best"] = best
+        print(json.dumps(rec), flush=True)
     return 0
 
 

@@ -68,3 +68,13 @@ def test_phase_stack_geometry():
             direct = xpad[:, kh:kh + 2 * oh:2, kw:kw + 2 * oh:2, :]
             np.testing.assert_array_equal(win, direct,
                                           err_msg=f"tap {kh},{kw}")
+
+
+def test_conv_gemm_im2col_variant_matches():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(4, 16, 16, 64).astype(np.float32))
+    w = jnp.asarray(rng.randn(5, 5, 64, 128).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(128).astype(np.float32))
+    got = np.asarray(conv_gemm(x, w, bias, variant="im2col"))
+    ref = np.asarray(conv_gemm_reference(x, w, bias))
+    np.testing.assert_allclose(got, ref, atol=1e-3)
