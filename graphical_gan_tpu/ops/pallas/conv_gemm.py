@@ -142,14 +142,18 @@ def conv_gemm(x: jax.Array, w: jax.Array, bias: jax.Array,
     ow = -(-wdt // s)
     span = (k - 1) // s + oh
     nb = min(n_block, cout)
-    bb = min(b_block, b)
+
+    def _largest_divisor_leq(n: int, cap: int) -> int:
+        return max(d for d in range(1, min(n, cap) + 1) if n % d == 0)
+
+    bb = _largest_divisor_leq(b, b_block)
     if b > bb:
         # multi-block batch grids get their input/output blocks
         # double-buffered by Mosaic; shrink the block so the pipeline
         # buffers + per-tap window temporaries stay inside scoped VMEM
         # (measured: bb=64 with 8 batch blocks at disc2 shapes = 22 MB
-        # scoped > the 16 MB limit; bb=32 fits)
-        bb = min(bb, 32)
+        # scoped > the 16 MB limit; bb=32 fits).  Always a divisor of b.
+        bb = _largest_divisor_leq(b, min(bb, 32))
     if variant == "im2col":
         # the staged col buffer is m x (k*k*cin) of the input dtype —
         # shrink the batch block until buffers fit scoped VMEM (measured
@@ -169,7 +173,7 @@ def conv_gemm(x: jax.Array, w: jax.Array, bias: jax.Array,
                     + k * k * m_ * cin * ib)
 
         while bb > 8 and est(bb) > 12 * 2 ** 20:
-            bb //= 2
+            bb = _largest_divisor_leq(b, bb // 2)
     assert cout % nb == 0, (cout, nb)
     assert b % bb == 0, (b, bb)
     m = bb * oh * ow

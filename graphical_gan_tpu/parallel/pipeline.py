@@ -454,26 +454,25 @@ def unpack_stacked(stacked: jax.Array, templates) -> Params:
 # Cross-strategy checkpoint conversion (elastic strategy migration)
 # ---------------------------------------------------------------------------
 
-def pp_state_like(model):
+def pp_state_like(model, n_stages: int = N_STAGES):
     """A zero pp-state pytree with the right shapes/dtypes — the ``like``
     structure for restoring a pp checkpoint without needing a mesh."""
-    templates, *_ = build_stages(model)
+    templates, _, _, _ = _normalized_stages(model, n_stages)
     packed = pack_stacked(model, model.init(jax.random.PRNGKey(0)),
                           templates)
     return dict(packed=packed,
                 m=jnp.zeros_like(packed), v=jnp.zeros_like(packed),
-                t=jnp.zeros((N_STAGES,), jnp.int32),
+                t=jnp.zeros((len(templates),), jnp.int32),
                 step=jnp.zeros((), jnp.int32))
 
 
-def pp_state_from_train_state(model, ts):
+def pp_state_from_train_state(model, ts, n_stages: int = N_STAGES):
     """Convert a standard ``TrainState`` (dp/tp/sp/ep/single-device) into
-    the pp packed representation, so a run trained under any other strategy
-    resumes under pipeline parallelism with its optimizer state intact.
-    Requires the pp-supported configuration: Adam for both players, f32
-    params (no bf16 masters)."""
-    templates, *_ = build_stages(model)
-    tmpl0, tmpl1 = templates
+    the pp packed representation (any supported stage count), so a run
+    trained under any other strategy resumes under pipeline parallelism
+    with its optimizer state intact.  Requires the pp-supported
+    configuration: Adam for both players, f32 params (no bf16 masters)."""
+    templates, _, _, gen_rows = _normalized_stages(model, n_stages)
     for opt in (ts.gen_opt, ts.disc_opt):
         if not isinstance(opt, dict) or "m" not in opt:
             raise NotImplementedError(
@@ -485,26 +484,28 @@ def pp_state_from_train_state(model, ts):
                 "master-weight (low-byte) states")
     packed = pack_stacked(model, dict(ts.params), templates)
     pmax = packed.shape[1]
+    opt_of = [ts.gen_opt if s in gen_rows else ts.disc_opt
+              for s in range(len(templates))]
 
     def pack_rows(field):
-        r0 = tmpl0.pack(dict(ts.gen_opt[field]))
-        r1 = tmpl1.pack(dict(ts.disc_opt[field]))
-        return jnp.stack([jnp.pad(r0, (0, pmax - r0.shape[0])),
-                          jnp.pad(r1, (0, pmax - r1.shape[0]))])
+        rows = [t.pack(dict(opt[field]))
+                for t, opt in zip(templates, opt_of)]
+        return jnp.stack([jnp.pad(r, (0, pmax - r.shape[0]))
+                          for r in rows])
 
-    t = jnp.stack([jnp.asarray(ts.gen_opt["t"], jnp.int32),
-                   jnp.asarray(ts.disc_opt["t"], jnp.int32)])
+    t = jnp.stack([jnp.asarray(opt["t"], jnp.int32) for opt in opt_of])
     return dict(packed=packed, m=pack_rows("m"), v=pack_rows("v"), t=t,
                 step=jnp.asarray(ts.step, jnp.int32))
 
 
 def train_state_from_pp_state(model, pp_state, std_init_state):
-    """Inverse of ``pp_state_from_train_state``: unpack a pp checkpoint into
-    the standard ``TrainState`` so a pipeline run resumes under any other
-    strategy.  ``std_init_state`` is the standard ``make_train_step`` init
-    (builds the optimizer pytrees whose m/v we fill from the packed rows)."""
-    templates, *_ = build_stages(model)
-    tmpl0, tmpl1 = templates
+    """Inverse of ``pp_state_from_train_state``: unpack a pp checkpoint
+    (stage count read from the packed rows) into the standard
+    ``TrainState`` so a pipeline run resumes under any other strategy.
+    ``std_init_state`` is the standard ``make_train_step`` init (builds
+    the optimizer pytrees whose m/v we fill from the packed rows)."""
+    n_stages = int(pp_state["packed"].shape[0])
+    templates, _, _, gen_rows = _normalized_stages(model, n_stages)
     params = unpack_stacked(pp_state["packed"], templates)
     like = std_init_state(params)
     for opt in (like.gen_opt, like.disc_opt):
@@ -515,12 +516,47 @@ def train_state_from_pp_state(model, pp_state, std_init_state):
     gen_opt = dict(like.gen_opt)
     disc_opt = dict(like.disc_opt)
     for field in ("m", "v"):
-        gen_opt[field] = tmpl0.unpack(pp_state[field][0])
-        disc_opt[field] = tmpl1.unpack(pp_state[field][1])
-    gen_opt["t"] = jnp.asarray(pp_state["t"][0], jnp.int32)
-    disc_opt["t"] = jnp.asarray(pp_state["t"][1], jnp.int32)
+        g, d = {}, {}
+        for s, tmpl in enumerate(templates):
+            (g if s in gen_rows else d).update(
+                tmpl.unpack(pp_state[field][s]))
+        gen_opt[field], disc_opt[field] = g, d
+    g_row = gen_rows[0]
+    d_row = next(s for s in range(n_stages) if s not in gen_rows)
+    gen_opt["t"] = jnp.asarray(pp_state["t"][g_row], jnp.int32)
+    disc_opt["t"] = jnp.asarray(pp_state["t"][d_row], jnp.int32)
     return like._replace(params=params, gen_opt=gen_opt, disc_opt=disc_opt,
                          step=jnp.asarray(pp_state["step"], jnp.int32))
+
+
+def restore_pp_params(model, ckpt_path):
+    """(name-keyed params, extra) from a pipeline-parallel checkpoint of
+    ANY supported stage count, in either format — THE helper every
+    pp-checkpoint consumer (generate/serving/export/scoring) goes
+    through.  npz reads the stored row count; orbax (structure-restoring)
+    tries each supported count."""
+    from graphical_gan_tpu.train import checkpoint as ckpt_lib
+    if ckpt_lib.is_orbax(ckpt_path):
+        last = None
+        for n in (N_STAGES, 4):
+            try:
+                like = pp_state_like(model, n)
+            except (NotImplementedError, ValueError):
+                continue
+            try:
+                state, extra = ckpt_lib.restore(ckpt_path, like)
+                return unpack_stacked(
+                    state["packed"],
+                    _normalized_stages(model, n)[0]), extra
+            except Exception as e:  # noqa: BLE001 — try the other count
+                last = e
+        raise last if last is not None else ValueError(ckpt_path)
+    flat, _ = ckpt_lib.load_raw(ckpt_path)
+    n = int(flat["k:packed"].shape[0])
+    like = pp_state_like(model, n)
+    state, extra = ckpt_lib.restore(ckpt_path, like)
+    return unpack_stacked(state["packed"],
+                          _normalized_stages(model, n)[0]), extra
 
 
 # ---------------------------------------------------------------------------

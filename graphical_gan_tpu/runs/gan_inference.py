@@ -83,7 +83,8 @@ def _maybe_mesh(n_devices: Optional[int], parallel: str = "dp",
 
     ``mesh_shape``: for tp/sp/ep a "d,m" pair (data x model / data x seq /
     data x expert); for composed a named spec like "data=2,seq=2,model=2";
-    for pp a 1-D stage count (always 2).  Defaults: dp = 1-D over
+    for pp a 1-D stage count — 2 (player cut, all pp families)
+    or 4 (family-1 ali conv-trunk cut).  Defaults: dp = 1-D over
     n_devices; tp/sp/ep = 2 x (n_devices/2); pp = 2 stages.
     """
     if mesh_shape is None and (not n_devices or n_devices <= 1) \

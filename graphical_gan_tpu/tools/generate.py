@@ -97,41 +97,24 @@ def rebuild(run_dir: str):
 def restore_params(model, ckpt_path: str):
     """(name-keyed params, extra) from any checkpoint the framework
     writes — the standard TrainState layout or a pipeline-parallel run's
-    packed per-stage rows (``parallel/pipeline.py``), in either the npz or
+    packed per-stage rows at ANY supported stage count
+    (``parallel/pipeline.py: restore_pp_params``), in either the npz or
     the orbax format (``--checkpoint-backend``)."""
-    import jax.numpy as jnp
+    from graphical_gan_tpu.parallel import pipeline as pp
     if ckpt_lib.is_orbax(ckpt_path):
         # orbax restores by structure (no raw keypath inspection): try the
-        # standard layout first, fall back to the pp-packed one
+        # standard layout first, fall back to the pp-packed ones
         _, init_state = make_train_step(model, jit=False)
         like = init_state(model.init(jax.random.PRNGKey(0)))
         try:
             state, extra = ckpt_lib.restore(ckpt_path, like)
             return state.params, extra
         except Exception:  # noqa: BLE001 — structure mismatch => pp layout
-            from graphical_gan_tpu.parallel import pipeline as pp
-            templates, _, _, _ = pp.build_family1_stages(model)
-            packed = pp.pack_stacked(
-                model, model.init(jax.random.PRNGKey(0)), templates)
-            like = dict(packed=packed, m=jnp.zeros_like(packed),
-                        v=jnp.zeros_like(packed),
-                        t=jnp.zeros((pp.N_STAGES,), jnp.int32),
-                        step=jnp.zeros((), jnp.int32))
-            state, extra = ckpt_lib.restore(ckpt_path, like)
-            return pp.unpack_stacked(state["packed"], templates), extra
+            return pp.restore_pp_params(model, ckpt_path)
     with np.load(ckpt_path, allow_pickle=False) as data:
         is_pp = "k:packed" in data.files
     if is_pp:
-        from graphical_gan_tpu.parallel import pipeline as pp
-        templates, _, _, _ = pp.build_family1_stages(model)
-        packed = pp.pack_stacked(model, model.init(jax.random.PRNGKey(0)),
-                                 templates)
-        like = dict(packed=packed, m=jnp.zeros_like(packed),
-                    v=jnp.zeros_like(packed),
-                    t=jnp.zeros((pp.N_STAGES,), jnp.int32),
-                    step=jnp.zeros((), jnp.int32))
-        state, extra = ckpt_lib.restore(ckpt_path, like)
-        return pp.unpack_stacked(state["packed"], templates), extra
+        return pp.restore_pp_params(model, ckpt_path)
     _, init_state = make_train_step(model, jit=False)
     like = init_state(model.init(jax.random.PRNGKey(0)))
     state, extra = ckpt_lib.restore(ckpt_path, like)

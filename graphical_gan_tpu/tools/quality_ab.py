@@ -39,9 +39,8 @@ def main(argv=None) -> int:
     from graphical_gan_tpu.metrics.jax_classifier import MetricClassifier
     from graphical_gan_tpu.models.gan_inference import GanInferenceModel
     from graphical_gan_tpu.runs.gan_inference import _structured_pool
+    from graphical_gan_tpu.tools.generate import restore_params
     from graphical_gan_tpu.tools.score_samples import draw_samples
-    from graphical_gan_tpu.train import checkpoint
-    from graphical_gan_tpu.train.step import make_train_step
 
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--ckpt", required=True)
@@ -57,9 +56,9 @@ def main(argv=None) -> int:
 
     cfg = gan_inference_defaults(args.dataset, args.mode)
     model = GanInferenceModel(cfg)
-    _, init_state = make_train_step(model, jit=False)
-    like = init_state(model.init(jax.random.PRNGKey(0)))
-    state, _ = checkpoint.restore(args.ckpt, like)
+    # restore_params handles every checkpoint the framework writes
+    # (standard / pp-packed, npz / orbax) — no duplicated restore here
+    params, _ = restore_params(model, args.ckpt)
 
     # the shared instrument: identical to the in-run structured hook
     h, w = cfg.data.image_hw
@@ -84,9 +83,9 @@ def main(argv=None) -> int:
         scales = None
         if arm == "int8":
             from graphical_gan_tpu.serve.quantize import calibrate
-            scales = calibrate("gan_inference", model, state.params,
+            scales = calibrate("gan_inference", model, params,
                                jax.random.PRNGKey(1234), n_batches=4)
-        imgs = draw_samples(model, state.params, args.n_samples,
+        imgs = draw_samples(model, params, args.n_samples,
                             quantize_scales=scales)
         mean, std = get_inception_score(imgs, prob_fn)
         mu, sigma = gaussian_stats(feature_fn(np.asarray(imgs)))

@@ -176,22 +176,36 @@ def list_checkpoints(dirpath: str, prefix: str = "ckpt_"):
                     step = int(fn[len(prefix):-len(ext)])
                 except ValueError:
                     break
-                out.append((step, os.path.join(dirpath, fn)))
+                path = os.path.join(dirpath, fn)
+                # an .orbax dir without its sidecar is an INTERRUPTED
+                # save (the sidecar is written after the dir commits,
+                # and save() always writes one): never resume from it —
+                # trainer extras (iteration/RNG) would be missing
+                if ext == ".orbax" and not os.path.exists(
+                        path + ".extra.json"):
+                    break
+                out.append((step, path))
                 break
     return sorted(out)
 
 
 def remove(path: str) -> None:
     """Delete one checkpoint artifact: an npz file, or an orbax directory
-    plus its sidecar ``.extra.json`` (checkpoint GC's unit of work)."""
+    plus its sidecar ``.extra.json`` (checkpoint GC's unit of work).
+    Concurrency-safe: in a multi-host run every process GCs the same
+    shared dir, so a loser of the unlink race must not crash."""
     if is_orbax(path):
         import shutil
         shutil.rmtree(path, ignore_errors=True)
-        extra = path.rstrip("/") + ".extra.json"
-        if os.path.exists(extra):
-            os.unlink(extra)
+        try:
+            os.unlink(path.rstrip("/") + ".extra.json")
+        except FileNotFoundError:
+            pass
         return
-    os.unlink(path)
+    try:
+        os.unlink(path)
+    except FileNotFoundError:
+        pass
 
 
 def latest(dirpath: str, prefix: str = "ckpt_") -> Optional[str]:

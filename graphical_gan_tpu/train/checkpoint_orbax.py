@@ -48,7 +48,12 @@ def save(path: str, state: Any, extra: Optional[Dict] = None) -> str:
     ckptr = _checkpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
-    if extra and jax.process_index() == 0:
+    # ALWAYS write the sidecar (even for empty extra): consumers treat a
+    # committed .orbax directory without its sidecar as an interrupted
+    # save (checkpoint.list_checkpoints skips it), which is what makes
+    # the two-step dir+sidecar write crash-safe end to end
+    extra = extra or {}
+    if jax.process_index() == 0:
         import json
         from etils import epath
         target = epath.Path(_extra_path(path))

@@ -425,6 +425,7 @@ class Trainer:
         from graphical_gan_tpu.parallel import pipeline as pp_lib
 
         is_pp_run = self.mesh is not None and self.parallel == "pp"
+        ckpt_stages = None          # packed row count of a pp ckpt
         if ckpt_lib.is_orbax(path):
             # orbax restores by structure, so there is no cheap raw
             # inspection; the direction is already fixed by the CURRENT
@@ -439,14 +440,31 @@ class Trainer:
                     f"checkpoint {path!r} does not match the current model "
                     "state structure (and is not a pp<->standard format "
                     "difference)")
+            if is_pp_ckpt:
+                ckpt_stages = int(flat["k:packed"].shape[0])
         if is_pp_run:
+            n_stages = int(self.mesh.shape["stage"])
             std_init = make_train_step(self.model, critic_iters=self.k,
                                        jit=False)[1]
             std_like = std_init(self.model.init(jax.random.PRNGKey(0)))
             ts, extra = ckpt_lib.restore(path, std_like)
-            return pp_lib.pp_state_from_train_state(self.model, ts), extra
-        pp_like = pp_lib.pp_state_like(self.model)
-        pp_state, extra = ckpt_lib.restore(path, pp_like)
+            return pp_lib.pp_state_from_train_state(
+                self.model, ts, n_stages=n_stages), extra
+        if ckpt_stages is not None:
+            pp_like = pp_lib.pp_state_like(self.model, ckpt_stages)
+            pp_state, extra = ckpt_lib.restore(path, pp_like)
+        else:
+            # orbax pp ckpt of unknown stage count: try each supported one
+            last = None
+            for n in (2, 4):
+                try:
+                    pp_like = pp_lib.pp_state_like(self.model, n)
+                    pp_state, extra = ckpt_lib.restore(path, pp_like)
+                    break
+                except Exception as e:  # noqa: BLE001 — try next count
+                    last = e
+            else:
+                raise last
         return pp_lib.train_state_from_pp_state(
             self.model, pp_state, self.init_state), extra
 

@@ -253,3 +253,36 @@ def test_generate_restore_params_from_orbax(tmp_path):
     name = next(iter(state.params))
     np.testing.assert_array_equal(np.asarray(params[name]),
                                   np.asarray(state.params[name]))
+
+
+def test_interrupted_orbax_save_is_skipped(tmp_path):
+    """A committed .orbax dir whose sidecar is missing (crash between the
+    two-step write) must be invisible to listing/resume — never a
+    KeyError at trainer resume time."""
+    state = {"a": jnp.ones(3)}
+    good = checkpoint.save(str(tmp_path / "ckpt_1.orbax"), state,
+                           extra={"iteration": 1})
+    bad = checkpoint.save(str(tmp_path / "ckpt_2.orbax"), state,
+                          extra={"iteration": 2})
+    import os
+    os.unlink(bad + ".extra.json")        # simulate the crash window
+    steps = [s for s, _ in checkpoint.list_checkpoints(str(tmp_path))]
+    assert steps == [1]
+    assert checkpoint.latest(str(tmp_path)) == good
+
+
+def test_orbax_save_always_writes_sidecar(tmp_path):
+    p = checkpoint.save(str(tmp_path / "ckpt_0.orbax"), {"a": jnp.ones(2)})
+    import os
+    assert os.path.exists(p + ".extra.json")   # even with no extra given
+    assert [s for s, _ in checkpoint.list_checkpoints(str(tmp_path))] == [0]
+
+
+def test_remove_tolerates_concurrent_deletion(tmp_path):
+    p = checkpoint.save(str(tmp_path / "ckpt_1.npz"), {"a": jnp.ones(2)})
+    checkpoint.remove(p)
+    checkpoint.remove(p)                       # second GC racer: no crash
+    q = checkpoint.save(str(tmp_path / "ckpt_2.orbax"), {"a": jnp.ones(2)},
+                        extra={})
+    checkpoint.remove(q)
+    checkpoint.remove(q)

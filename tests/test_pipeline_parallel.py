@@ -430,3 +430,55 @@ def test_networks_trunk_head_split_is_identity():
     a = registry.apply(e_whole, params, jax.random.PRNGKey(9))
     b = registry.apply(e_split, params, jax.random.PRNGKey(9))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pp4_conversion_roundtrip_and_restore_pp_params(tmp_path):
+    """The cross-strategy converters and the shared pp-checkpoint reader
+    handle the 4-stage cut: standard -> 4-stage -> standard is lossless,
+    and restore_pp_params reads a 4-stage checkpoint's params (npz and
+    orbax) — the consumer surface serving/generate/scoring go through."""
+    from graphical_gan_tpu.train import checkpoint
+    from graphical_gan_tpu.train.step import make_train_step
+
+    model = make_model()
+    std_step, std_init = make_train_step(model, jit=False)
+    state = std_init(model.init(jax.random.PRNGKey(0)))
+
+    pp4 = pp.pp_state_from_train_state(model, state, n_stages=4)
+    assert pp4["packed"].shape[0] == 4
+    back = pp.train_state_from_pp_state(model, pp4, std_init)
+    for n in state.params:
+        np.testing.assert_array_equal(np.asarray(state.params[n]),
+                                      np.asarray(back.params[n]), err_msg=n)
+    for field in ("m", "v"):
+        for n in state.gen_opt[field]:
+            np.testing.assert_array_equal(
+                np.asarray(state.gen_opt[field][n]),
+                np.asarray(back.gen_opt[field][n]), err_msg=f"g {field} {n}")
+        for n in state.disc_opt[field]:
+            np.testing.assert_array_equal(
+                np.asarray(state.disc_opt[field][n]),
+                np.asarray(back.disc_opt[field][n]), err_msg=f"d {field} {n}")
+
+    for ext in (".npz", ".orbax"):
+        path = str(tmp_path / f"ckpt_5{ext}")
+        checkpoint.save(path, pp4, extra={"iteration": 5})
+        params, extra = pp.restore_pp_params(model, path)
+        assert extra["iteration"] == 5
+        name = next(iter(state.params))
+        np.testing.assert_array_equal(np.asarray(params[name]),
+                                      np.asarray(state.params[name]),
+                                      err_msg=ext)
+
+
+def test_conv_gemm_bb_stays_divisor():
+    """The VMEM-driven batch-block shrink must keep bb a divisor of b."""
+    from graphical_gan_tpu.ops.pallas.conv_gemm import (
+        conv_gemm, conv_gemm_reference)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(80, 16, 16, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(5, 5, 32, 128).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(128).astype(np.float32))
+    got = np.asarray(conv_gemm(x, w, bias))              # b=80 not /32
+    ref = np.asarray(conv_gemm_reference(x, w, bias))
+    np.testing.assert_allclose(got, ref, atol=1e-3)
